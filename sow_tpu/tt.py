@@ -1,0 +1,531 @@
+"""Tensor-train (TT) matrix/tensor algebra as a JAX pytree.
+
+TPU-native re-design of the reference TT class (``tn_gradient/tt.py:13-514``).
+Design differences from the torch original, chosen for XLA:
+
+* **Immutable pytree.** A ``TensorTrain`` is a tuple of cores registered as a
+  pytree node; every operation returns a *new* train. TT ranks are static shape
+  metadata (they live in the core shapes), so rank-changing ops (``round``,
+  ``add``) produce new static shapes — under ``jit`` that means the rank
+  schedule must be known at trace time, which it always is in this codebase
+  (rank growth is deterministic).
+* **No cached ``opt_einsum`` expressions.** Reconstruction is a single
+  ``jnp.einsum`` — XLA performs contraction-path optimization and fusion at
+  compile time (replaces ``tn_gradient/tt.py:213-237``'s cached
+  ``ContractExpression``).
+* **All QR-based ops run in float32** (see ``sow_tpu.utils.numerics``).
+* **Sign-correct scalar multiplication.** The reference multiplies *every*
+  core by ``sign * |c|**(1/d)`` (``tn_gradient/tt.py:428-447``), which flips
+  the overall sign ``d`` times — for even-order trains a negative constant
+  comes out positive. Here the magnitude is spread homogeneously but the sign
+  is applied exactly once (first core).
+* **Rank-1 constant addition.** ``add_const`` appends a rank-1 constant block
+  instead of the reference's rank-``r`` block (``tn_gradient/tt.py:343-380``):
+  exact, cheaper, and sign-correct.
+
+Core ``k`` has shape ``(r_k, i_k, j_k, r_{k+1})`` exactly as the reference.
+"""
+
+from __future__ import annotations
+
+import math
+import string
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from sow_tpu.utils.numerics import pad_matrix, unpad_matrix
+
+_LETTERS = string.ascii_letters
+
+
+def _qr_f32(matrix: jax.Array, mode: str = "reduced") -> tuple[jax.Array, jax.Array]:
+    """fp32 QR at highest matmul precision (TPU QR is matmul-built; default
+    bf16 passes give ~1e-2 error)."""
+    dtype = matrix.dtype
+    with jax.default_matmul_precision("highest"):
+        q, r = jnp.linalg.qr(matrix.astype(jnp.float32), mode=mode)
+    return q.astype(dtype), r.astype(dtype)
+
+
+def _hp_einsum(spec: str, *operands) -> jax.Array:
+    """Einsum at highest matmul precision — TT algebra carries optimizer
+    state, where bf16 contraction error compounds across steps."""
+    with jax.default_matmul_precision("highest"):
+        return jnp.einsum(spec, *operands)
+
+
+@jax.tree_util.register_pytree_node_class
+class TensorTrain:
+    """Immutable tensor train; cores are the pytree leaves.
+
+    All static metadata (order, ranks, physical shapes) derives from the core
+    shapes, so a ``TensorTrain`` can flow through ``jit``/``grad``/``vmap``
+    and optimizer states without auxiliary bookkeeping.
+    """
+
+    __slots__ = ("cores",)
+
+    def __init__(self, cores: Sequence[jax.Array]):
+        cores = tuple(cores)
+        if not cores:
+            raise ValueError("TensorTrain needs at least one core")
+        for c in cores:
+            if c.ndim != 4:
+                raise ValueError(f"core must be rank-4 (r,i,j,r'), got {c.shape}")
+        self.cores = cores
+
+    # -- pytree protocol ---------------------------------------------------
+    def tree_flatten(self):
+        return self.cores, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.cores = tuple(children)
+        return obj
+
+    # -- static metadata ---------------------------------------------------
+    @property
+    def order(self) -> int:
+        return len(self.cores)
+
+    @property
+    def ranks(self) -> tuple[int, ...]:
+        return tuple(c.shape[0] for c in self.cores) + (self.cores[-1].shape[3],)
+
+    @property
+    def input_shape(self) -> tuple[int, ...]:
+        return tuple(c.shape[1] for c in self.cores)
+
+    @property
+    def output_shape(self) -> tuple[int, ...]:
+        return tuple(c.shape[2] for c in self.cores)
+
+    @property
+    def dtype(self):
+        return self.cores[0].dtype
+
+    def numel(self) -> int:
+        """Total number of stored parameters (ref ``tt.py:83-84``)."""
+        return sum(int(math.prod(c.shape)) for c in self.cores)
+
+    def astype(self, dtype) -> "TensorTrain":
+        return TensorTrain([c.astype(dtype) for c in self.cores])
+
+    def __repr__(self) -> str:
+        return (
+            f"TensorTrain(order={self.order}, ranks={self.ranks}, "
+            f"in={self.input_shape}, out={self.output_shape}, dtype={self.dtype})"
+        )
+
+    # -- constructors ------------------------------------------------------
+    @staticmethod
+    def from_tensor(tensor: jax.Array, ranks: Sequence[int]) -> "TensorTrain":
+        """Decompose a ``(I_0..I_{d-1}, O_0..O_{d-1})`` tensor into a TT.
+
+        Axes are interleaved to ``(I_0, O_0, I_1, O_1, ...)`` before the QR
+        sweep, exactly as ``tn_gradient/tt.py:27-35``.
+        """
+        d = tensor.ndim // 2
+        if tensor.ndim != 2 * d or len(ranks) != d + 1:
+            raise ValueError("tensor must have 2*order axes and len(ranks)=order+1")
+        perm = [i for pair in zip(range(d), range(d, 2 * d)) for i in pair]
+        tensor = jnp.transpose(tensor, perm)
+        input_shape = tuple(tensor.shape[0::2])
+        output_shape = tuple(tensor.shape[1::2])
+        return _decompose(tensor, tuple(ranks), input_shape, output_shape)
+
+    @staticmethod
+    def from_matrix(
+        matrix: jax.Array, ranks: Sequence[int], padding: bool = True
+    ) -> "TensorTrain":
+        """Pad an ``M x N`` matrix to ``mm**d x nn**d`` and decompose.
+
+        Mirrors ``tn_gradient/tt.py:48-67`` (uniform per-axis factors
+        ``mm = ceil(M**(1/d))``).
+        """
+        order = len(ranks) - 1
+        m, n = matrix.shape
+        mm = math.ceil(m ** (1 / order))
+        nn = math.ceil(n ** (1 / order))
+        # Integer roots computed in floats can come out one too high (e.g.
+        # 81 ** 0.25 -> 3.0000000000000004 -> ceil 4); snap back down.
+        while (mm - 1) ** order >= m:
+            mm -= 1
+        while (nn - 1) ** order >= n:
+            nn -= 1
+        m_pad, n_pad = mm**order, nn**order
+        if padding:
+            matrix = pad_matrix(matrix, (m_pad, n_pad))
+        tensor = matrix.reshape((mm,) * order + (nn,) * order)
+        return TensorTrain.from_tensor(tensor, ranks)
+
+    @staticmethod
+    def zeros(
+        ranks: Sequence[int],
+        input_shape: Sequence[int],
+        output_shape: Sequence[int],
+        dtype=jnp.float32,
+    ) -> "TensorTrain":
+        """All-zero train (ref ``tt.py:69-74``)."""
+        return TensorTrain(
+            [
+                jnp.zeros((ranks[i], input_shape[i], output_shape[i], ranks[i + 1]), dtype)
+                for i in range(len(ranks) - 1)
+            ]
+        )
+
+    @staticmethod
+    def ones(
+        ranks: Sequence[int],
+        input_shape: Sequence[int],
+        output_shape: Sequence[int],
+        dtype=jnp.float32,
+    ) -> "TensorTrain":
+        """All-one cores (ref ``tt.py:76-81``). Note: reconstructs to
+        ``prod(ranks)``, not 1 — same semantics as the reference."""
+        return TensorTrain(
+            [
+                jnp.ones((ranks[i], input_shape[i], output_shape[i], ranks[i + 1]), dtype)
+                for i in range(len(ranks) - 1)
+            ]
+        )
+
+    # -- reconstruction ----------------------------------------------------
+    def reconstruct(self) -> jax.Array:
+        """Contract all cores into a ``(I_0..I_{d-1}, O_0..O_{d-1})`` tensor.
+
+        Single einsum; XLA picks the contraction path (replaces the cached
+        opt_einsum expression of ``tn_gradient/tt.py:213-237``).
+        """
+        d = self.order
+        # indices: bond_k -> letter[2*d + k]; in_k -> letter[k]; out_k -> letter[d+k]
+        terms = []
+        for k in range(d):
+            terms.append(
+                _LETTERS[2 * d + k]
+                + _LETTERS[k]
+                + _LETTERS[d + k]
+                + _LETTERS[2 * d + k + 1]
+            )
+        out = _LETTERS[:d] + _LETTERS[d : 2 * d]
+        spec = ",".join(terms) + "->" + out
+        return _hp_einsum(spec, *self.cores)
+
+    def to_tensor(self) -> jax.Array:
+        return self.reconstruct()
+
+    def to_matrix(self, shape: tuple[int, int]) -> jax.Array:
+        """Reconstruct, flatten to the padded matrix, and un-pad to ``shape``
+        (ref ``tt.py:242-247``)."""
+        tensor = self.reconstruct()
+        m_pad = math.prod(self.input_shape)
+        n_pad = math.prod(self.output_shape)
+        return unpad_matrix(tensor.reshape(m_pad, n_pad), shape)
+
+    # -- matricizations ----------------------------------------------------
+    def left_matrix(self, k: int) -> jax.Array:
+        """``(r_k * i_k * j_k, r_{k+1})`` view of core ``k`` (ref ``tt.py:496-498``)."""
+        c = self.cores[k]
+        return c.reshape(c.shape[0] * c.shape[1] * c.shape[2], c.shape[3])
+
+    def right_matrix(self, k: int) -> jax.Array:
+        """``(r_k, i_k * j_k * r_{k+1})`` view of core ``k`` (ref ``tt.py:500-502``)."""
+        c = self.cores[k]
+        return c.reshape(c.shape[0], c.shape[1] * c.shape[2] * c.shape[3])
+
+    # -- orthogonalization & rounding -------------------------------------
+    def orthogonalize(
+        self, mode: str = "left", new_ranks: Sequence[int] | None = None
+    ) -> "TensorTrain":
+        """QR sweep making every core (but one) orthogonal.
+
+        Functional version of ``tn_gradient/tt.py:142-180``; returns a new
+        train. ``new_ranks`` optionally truncates bond dims during the sweep.
+        """
+        cores = list(self.cores)
+        d = len(cores)
+        if mode == "left":
+            for k in range(d - 1):
+                c = cores[k]
+                l = c.reshape(-1, c.shape[3])
+                q, s = _qr_f32(l)
+                nxt = cores[k + 1]
+                with jax.default_matmul_precision("highest"):
+                    w = s @ nxt.reshape(nxt.shape[0], -1)
+                if new_ranks is not None:
+                    q = q[:, : new_ranks[k + 1]]
+                    w = w[: new_ranks[k + 1], :]
+                r_new = q.shape[1]
+                cores[k] = q.reshape(c.shape[0], c.shape[1], c.shape[2], r_new)
+                cores[k + 1] = w.reshape(r_new, nxt.shape[1], nxt.shape[2], nxt.shape[3])
+        elif mode == "right":
+            for k in range(d - 1, 0, -1):
+                c = cores[k]
+                r = c.reshape(c.shape[0], -1)
+                q, s = _qr_f32(r.T)
+                prev = cores[k - 1]
+                with jax.default_matmul_precision("highest"):
+                    w = prev.reshape(-1, prev.shape[3]) @ s.T
+                if new_ranks is not None:
+                    q = q[:, : new_ranks[k]]
+                    w = w[:, : new_ranks[k]]
+                r_new = q.shape[1]
+                cores[k] = q.T.reshape(r_new, c.shape[1], c.shape[2], c.shape[3])
+                cores[k - 1] = w.reshape(prev.shape[0], prev.shape[1], prev.shape[2], r_new)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        return TensorTrain(cores)
+
+    def round(
+        self,
+        new_ranks: int | Sequence[int] | None = None,
+        like: "TensorTrain | None" = None,
+    ) -> "TensorTrain":
+        """Truncate bond ranks: right-orthogonalize then left truncated-QR sweep.
+
+        Functional version of ``tn_gradient/tt.py:182-211``. ``new_ranks`` may
+        be an int (uniform mid-ranks), a full ``order+1`` list, or ``like``
+        another train whose ranks are copied. Defaults to the max useful ranks
+        ``[1, i_k*j_k ..., 1]``-capped.
+        """
+        d = self.order
+        if isinstance(new_ranks, int):
+            new_ranks = [1] + [new_ranks] * (d - 1) + [1]
+        elif new_ranks is None and like is None:
+            new_ranks = [1] + [i * o for i, o in zip(self.input_shape, self.output_shape)] + [1]
+        elif like is not None:
+            new_ranks = list(like.ranks)
+        new_ranks = list(new_ranks)
+
+        tt = self.orthogonalize(mode="right")
+        cores = list(tt.cores)
+        for k in range(d - 1):
+            c = cores[k]
+            l = c.reshape(-1, c.shape[3])
+            q, s = _qr_f32(l, mode="complete")
+            rr = min(new_ranks[k + 1], q.shape[1])
+            q = q[:, :rr]
+            s = s[:rr, :]
+            nxt = cores[k + 1]
+            with jax.default_matmul_precision("highest"):
+                    w = s @ nxt.reshape(nxt.shape[0], -1)
+            cores[k] = q.reshape(c.shape[0], c.shape[1], c.shape[2], rr)
+            cores[k + 1] = w.reshape(rr, nxt.shape[1], nxt.shape[2], nxt.shape[3])
+        return TensorTrain(cores)
+
+    # -- inner products & norms --------------------------------------------
+    def inner(self, other: "TensorTrain", mode: str = "full") -> jax.Array:
+        """Inner product ``<self, other>``.
+
+        ``mode='full'`` contracts both trains over all physical indices
+        (ref ``tt.py:262-277``). ``mode='right'`` contracts only the last
+        cores (valid when both trains are left-orthogonal, as the reference
+        assumes).
+        """
+        if mode == "full":
+            d = self.order
+            # letters: in_k -> L[k], out_k -> L[d+k], bondA_k -> L[2d+k], bondB_k -> L[3d+1+k]
+            terms = []
+            operands = []
+            for k in range(d):
+                operands.append(self.cores[k])
+                terms.append(
+                    _LETTERS[2 * d + k] + _LETTERS[k] + _LETTERS[d + k] + _LETTERS[2 * d + k + 1]
+                )
+            for k in range(d):
+                operands.append(other.cores[k])
+                terms.append(
+                    _LETTERS[3 * d + 1 + k]
+                    + _LETTERS[k]
+                    + _LETTERS[d + k]
+                    + _LETTERS[3 * d + 1 + k + 1]
+                )
+            spec = ",".join(terms) + "->"
+            return _hp_einsum(spec, *operands).reshape(())
+        elif mode == "right":
+            a = self.cores[-1]
+            b = other.cores[-1]
+            return _hp_einsum("rijs,rijt->", a, b)
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def norm(self, mode: str = "full") -> jax.Array:
+        """``<self, self>`` — the *squared* Frobenius norm, matching the
+        reference's convention (``tn_gradient/tt.py:257-260``)."""
+        return self.inner(self, mode=mode)
+
+    # -- arithmetic --------------------------------------------------------
+    def __add__(self, other: "TensorTrain") -> "TensorTrain":
+        """Element-wise sum via block-diagonal core concatenation.
+
+        Proper block-diagonal construction valid for *arbitrary* bond ranks
+        (the reference's pad-and-concat at ``tt.py:403-422`` assumes uniform
+        ranks).
+        """
+        if (
+            self.input_shape != other.input_shape
+            or self.output_shape != other.output_shape
+        ):
+            raise ValueError("shape mismatch in TT add")
+        d = self.order
+        cores = []
+        for k in range(d):
+            a, b = self.cores[k], other.cores[k]
+            ra0, i, j, ra1 = a.shape
+            rb0, _, _, rb1 = b.shape
+            if k == 0:
+                cores.append(jnp.concatenate([a, b], axis=3))
+            elif k == d - 1:
+                cores.append(jnp.concatenate([a, b], axis=0))
+            else:
+                top = jnp.concatenate([a, jnp.zeros((ra0, i, j, rb1), a.dtype)], axis=3)
+                bot = jnp.concatenate([jnp.zeros((rb0, i, j, ra1), b.dtype), b], axis=3)
+                cores.append(jnp.concatenate([top, bot], axis=0))
+        return TensorTrain(cores)
+
+    def __sub__(self, other: "TensorTrain") -> "TensorTrain":
+        return self + (-1.0) * other
+
+    def __rmul__(self, constant) -> "TensorTrain":
+        """Scalar multiplication, magnitude spread homogeneously across cores.
+
+        Unlike the reference (``tt.py:428-447``) the sign lands on exactly one
+        core, so ``(-1) * tt`` negates the train for every order. Supports
+        traced (jnp) scalars.
+        """
+        d = self.order
+        c = jnp.asarray(constant, dtype=jnp.float32)
+        sub = jnp.abs(c) ** (1.0 / d)
+        sign = jnp.where(c < 0, -1.0, 1.0)
+        cores = [self.cores[0] * (sign * sub).astype(self.dtype)]
+        cores += [core * sub.astype(self.dtype) for core in self.cores[1:]]
+        return TensorTrain(cores)
+
+    def __mul__(self, other) -> "TensorTrain":
+        """Hadamard product via bond-dimension Kronecker expansion
+        (ref ``tt.py:449-478``: ``aijb,cijd->acijbd`` then bond merge)."""
+        if not isinstance(other, TensorTrain):
+            return self.__rmul__(other)
+        cores = []
+        for a, b in zip(self.cores, other.cores):
+            new = _hp_einsum("aijb,cijd->acijbd", a, b)
+            cores.append(
+                new.reshape(
+                    a.shape[0] * b.shape[0], a.shape[1], a.shape[2], a.shape[3] * b.shape[3]
+                )
+            )
+        return TensorTrain(cores)
+
+    def add_const(self, constant) -> "TensorTrain":
+        """Add a scalar constant elementwise, via a rank-1 constant block.
+
+        Exact replacement for ``tn_gradient/tt.py:343-380`` (which spreads the
+        constant over a rank-``r`` block); the rank-1 form is exact, cheaper
+        (bond growth +1 instead of +r) and sign-correct for every order.
+        """
+        d = self.order
+        c = jnp.asarray(constant, dtype=jnp.float32)
+        sub = jnp.abs(c) ** (1.0 / d)
+        sign = jnp.where(c < 0, -1.0, 1.0)
+        const_cores = []
+        for k in range(d):
+            i, j = self.input_shape[k], self.output_shape[k]
+            val = sub * (sign if k == 0 else 1.0)
+            const_cores.append(jnp.full((1, i, j, 1), val, dtype=self.dtype))
+        return self + TensorTrain(const_cores)
+
+    # -- elementwise iterative functions ------------------------------------
+    def _range_exponent(self, scale_max: float | None) -> int:
+        """Exponent ``k`` such that ``x / 4**k <= 1`` elementwise (estimate).
+
+        Uses the reference's core-magnitude bound (``tn_gradient/tt.py:286-288``)
+        when ``scale_max`` is not given. ``ceil`` (not the reference's
+        ``floor``) so the scaled train lands inside the Newton convergence
+        basin. Under jit, pass an explicit static ``scale_max``.
+        """
+        if scale_max is None:
+            if any(_is_traced(c) for c in self.cores):
+                scale_max = 1.0
+            else:
+                mx = max(float(jnp.max(jnp.abs(c))) for c in self.cores)
+                scale_max = math.prod(self.ranks) * (mx ** max(self.order // 2, 1))
+        return max(math.ceil(math.log(max(scale_max, 1e-30)) / math.log(4)), 0)
+
+    def sqrtinv(self, max_iter: int = 4, scale_max: float | None = None) -> "TensorTrain":
+        """Elementwise ``1/sqrt(x)`` by Newton iteration in TT arithmetic.
+
+        Re-derivation of ``tn_gradient/tt.py:279-310`` with corrected scaling:
+        with ``Ys = x / 4**k`` (``Ys <= 1``), iterate
+        ``A <- A * (3 - Ys * A^2) / 2`` from ``A0 = Ys``; ``A`` converges to
+        ``1/sqrt(Ys)`` and ``1/sqrt(x) = 2**-k / sqrt(Ys)``. (The reference
+        multiplies by ``2**k`` at the end, which does not invert its own
+        pre-scaling.) Fixed ``max_iter`` iterations — the reference's
+        data-dependent early exit is hostile to jit and it caps at the same
+        count anyway.
+        """
+        k = self._range_exponent(scale_max)
+        ys = (1.0 / (4**k)) * self
+        a = ys
+        max_ranks = [1] + [i * o for i, o in zip(self.input_shape, self.output_shape)] + [1]
+        for _ in range(max_iter):
+            b = (-0.5) * (ys * (a * a).round(max_ranks)).add_const(-3.0)
+            b = b.round(max_ranks)
+            a = (a * b).round(max_ranks)
+        return (2.0 ** (-k)) * a
+
+    def sqrt(self, max_iter: int = 4, scale_max: float | None = None) -> "TensorTrain":
+        """Elementwise ``sqrt(x)`` by coupled Newton iteration in TT form.
+
+        Port of ``tn_gradient/tt.py:312-341``:
+        ``A <- A - A*C/2``, ``C <- C^2 * (C - 3) / 4`` with ``A0 = x/4^k``,
+        ``C0 = A0 - 1``; the invariant ``C = A^2/Xs - 1`` drives ``A`` to
+        ``sqrt(x/4^k)``, rescaled by ``2**k``. Scaling uses ``ceil`` so
+        ``C0 in (-1, 0]`` (convergence basin); the reference's ``floor`` can
+        land outside it.
+        """
+        k = self._range_exponent(scale_max)
+        a = (1.0 / (4**k)) * self
+        c = a.add_const(-1.0)
+        ranks = list(a.ranks)
+        for _ in range(max_iter):
+            b = a - 0.5 * (a * c).round(ranks)
+            b = b.round(ranks)
+            dd = (0.25 * (c * c).round(ranks)) * c.add_const(-3.0)
+            dd = dd.round(ranks)
+            a, c = b, dd
+        return (2.0**k) * a
+
+
+def _is_traced(x) -> bool:
+    return isinstance(x, jax.core.Tracer)
+
+
+def _decompose(
+    tensor: jax.Array,
+    ranks: tuple[int, ...],
+    input_shape: tuple[int, ...],
+    output_shape: tuple[int, ...],
+) -> TensorTrain:
+    """TT-decompose an interleaved ``(i_0, o_0, i_1, o_1, ...)`` tensor by
+    iterative truncated QR (ref ``tn_gradient/tt.py:111-140``)."""
+    order = len(ranks) - 1
+    cores = []
+    cur = tensor
+    for k in range(order - 1):
+        rows = ranks[k] * input_shape[k] * output_shape[k]
+        l = cur.reshape(rows, -1)
+        q, r = _qr_f32(l, mode="complete")
+        # Requested ranks above the dimensional maximum are capped, like the
+        # reference's Q[:, :rank] slicing caps implicitly.
+        rr = min(ranks[k + 1], q.shape[1], l.shape[1])
+        q = q[:, :rr]
+        r = r[:rr, :]
+        cores.append(q.reshape(ranks[k], input_shape[k], output_shape[k], rr))
+        cur = r
+        ranks = ranks[: k + 1] + (rr,) + ranks[k + 2 :]
+    cores.append(
+        cur.reshape(ranks[-2], input_shape[-1], output_shape[-1], ranks[-1])
+    )
+    return TensorTrain(cores)
