@@ -1,0 +1,184 @@
+"""TT-Adam: Adam with tensor-train-compressed moment storage.
+
+TPU-native re-design of ``tn_gradient/optimizer/ttadam.py:10-117``. The
+reference scheme: moments are stored TT-compressed *between* steps; each step
+reconstructs them to dense, runs standard Adam math, and re-compresses. Memory
+is saved between steps, paid for with 2x (TT decompose + reconstruct) per
+step. The whole step is one jitted function, so XLA fuses the
+reconstruct -> adam -> decompose pipeline per leaf.
+
+Differences from the reference:
+  * State is TT from step 0 (``TT.zeros``) instead of switching dense->TT
+    after the first step (``ttadam.py:68-74``) — a single jit-stable state
+    structure.
+  * The dead GaLore projector branches (``ttadam.py:58-66,105-106``, disabled
+    with ``and False``) are not replicated.
+  * A *pure-TT* update (the reference's intended end-state: the commented
+    ``TTRAdam`` sketch, ``ttadam.py:120-207``, demonstrated in
+    ``tests/tt_adam_update.py:54-77``) ships as ``pure_tt_adam_update``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sow_tpu.tt import TensorTrain, cap_ranks
+
+
+class TTAdamState(NamedTuple):
+    step: jnp.ndarray
+    count: Any  # per-leaf counts
+    mu: Any  # TensorTrain (compressed leaves) or dense array
+    nu: Any
+
+
+class TTAdam(NamedTuple):
+    init: Callable
+    update: Callable
+
+
+def default_tt_spec(order: int = 4, rank: int = 4, min_dim: int = 16):
+    """Leaf -> TT ranks (or None to keep dense state).
+
+    2D leaves with both dims >= ``min_dim`` get compressed state; everything
+    else (biases, norms, scalars) stays dense — mirroring the reference's
+    "param groups carrying a 'ranks' key" convention (``ttadam.py:58,71``).
+    """
+
+    def spec(p) -> list[int] | None:
+        if p.ndim == 2 and min(p.shape) >= min_dim:
+            return [1] + [rank] * (order - 1) + [1]
+        return None
+
+    return spec
+
+
+def _tt_zeros_like(p: jax.Array, ranks: list[int]) -> TensorTrain:
+    order = len(ranks) - 1
+    m, n = p.shape
+    mm = math.ceil(m ** (1 / order))
+    nn = math.ceil(n ** (1 / order))
+    while (mm - 1) ** order >= m:
+        mm -= 1
+    while (nn - 1) ** order >= n:
+        nn -= 1
+    ranks = cap_ranks(ranks, (mm,) * order, (nn,) * order)
+    return TensorTrain.zeros(ranks, (mm,) * order, (nn,) * order, dtype=jnp.float32)
+
+
+def ttadam(
+    lr: float | Callable = 1e-3,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    correct_bias: bool = True,
+    tt_spec: Callable | None = None,
+) -> TTAdam:
+    """Adam whose 2D-moment storage is TT-compressed between steps.
+
+    ``tt_spec(p)`` returns the TT ranks for a leaf or None for dense state.
+    """
+    spec_fn = tt_spec or default_tt_spec()
+
+    def _is_tt(x):
+        return isinstance(x, TensorTrain)
+
+    def init(params):
+        def moment(p):
+            ranks = spec_fn(p)
+            if ranks is None:
+                return jnp.zeros_like(p)
+            return _tt_zeros_like(p, ranks)
+
+        zero_counts = jax.tree_util.tree_map(lambda p: jnp.zeros((), jnp.int32), params)
+        return TTAdamState(
+            step=jnp.zeros((), jnp.int32),
+            count=zero_counts,
+            mu=jax.tree_util.tree_map(moment, params),
+            nu=jax.tree_util.tree_map(moment, params),
+        )
+
+    def update(grads, state: TTAdamState, params):
+        step = state.step + 1
+        lr_t = lr(step) if callable(lr) else lr
+
+        def upd(g, c, m, v, p):
+            c = c + 1
+            g32 = g.astype(jnp.float32)
+            ranks = spec_fn(p)
+            if ranks is not None:
+                # TT -> dense (ref ttadam.py:71-84), clamping negative v.
+                m_d = m.to_matrix(p.shape)
+                v_d = jnp.maximum(v.to_matrix(p.shape), 0.0)
+            else:
+                m_d, v_d = m.astype(jnp.float32), v.astype(jnp.float32)
+
+            # dense Adam math (ref ttadam.py:87-108)
+            m_d = b1 * m_d + (1 - b1) * g32
+            v_d = b2 * v_d + (1 - b2) * g32 * g32
+            denom = jnp.sqrt(v_d) + eps
+            step_size = lr_t
+            if correct_bias:
+                cf = c.astype(jnp.float32)
+                step_size = step_size * jnp.sqrt(1.0 - b2**cf) / (1.0 - b1**cf)
+            u = -step_size * m_d / denom
+            if weight_decay > 0.0:
+                # decoupled, scaled by base lr (ref ttadam.py:110-111)
+                u = u - (lr_t if not callable(lr) else lr_t) * weight_decay * p.astype(jnp.float32)
+
+            if ranks is not None:
+                # dense -> TT (ref ttadam.py:113-115)
+                m_new = TensorTrain.from_matrix(m_d, ranks, padding=True)
+                v_new = TensorTrain.from_matrix(v_d, ranks, padding=True)
+            else:
+                m_new, v_new = m_d.astype(m.dtype), v_d.astype(v.dtype)
+            return u.astype(p.dtype), c, m_new, v_new
+
+        out = jax.tree_util.tree_map(
+            upd, grads, state.count, state.mu, state.nu, params, is_leaf=_is_tt
+        )
+        treedef = jax.tree_util.tree_structure(params)
+        leaves = treedef.flatten_up_to(out)
+        return (
+            treedef.unflatten([x[0] for x in leaves]),
+            TTAdamState(
+                step,
+                treedef.unflatten([x[1] for x in leaves]),
+                treedef.unflatten([x[2] for x in leaves]),
+                treedef.unflatten([x[3] for x in leaves]),
+            ),
+        )
+
+    return TTAdam(init=init, update=update)
+
+
+def pure_tt_adam_update(
+    grad_tt: TensorTrain,
+    m: TensorTrain,
+    v: TensorTrain,
+    alpha: float,
+    b1: float,
+    b2: float,
+    newton_iters: int = 8,
+) -> tuple[TensorTrain, TensorTrain, TensorTrain]:
+    """One Adam-like update entirely in TT arithmetic.
+
+    The reference's intended end-state (``tests/tt_adam_update.py:54-77``):
+    moments updated by TT add/scalar-mul, the second moment squared by TT
+    Hadamard then rounded, and the denominator applied via the Newton
+    ``sqrtinv``. Returns ``(update, m, v)`` — all TT, never densified.
+    """
+    ranks = list(grad_tt.ranks)
+    m = (b1 * m + (1 - b1) * grad_tt).round(ranks)
+    v = (b2 * v + (1 - b2) * (grad_tt * grad_tt)).round(
+        grad_tt.input_shape[0] * grad_tt.output_shape[0]
+    )
+    m_hat = (1.0 / (1.0 - b1)) * m
+    v_hat = (1.0 / (1.0 - b2)) * v
+    update = alpha * (m_hat * v_hat.sqrtinv(max_iter=newton_iters))
+    return update, m, v

@@ -449,8 +449,11 @@ class TensorTrain:
             if any(_is_traced(c) for c in self.cores):
                 scale_max = 1.0
             else:
-                mx = max(float(jnp.max(jnp.abs(c))) for c in self.cores)
-                scale_max = math.prod(self.ranks) * (mx ** max(self.order // 2, 1))
+                # Frobenius norm >= elementwise max — a far tighter bound than
+                # the reference's prod(ranks) * max-core estimate
+                # (tt.py:286-288), which over-scales and stalls the Newton
+                # iteration tens of iterations from convergence.
+                scale_max = float(jnp.sqrt(self.norm()))
         return max(math.ceil(math.log(max(scale_max, 1e-30)) / math.log(4)), 0)
 
     def sqrtinv(self, max_iter: int = 4, scale_max: float | None = None) -> "TensorTrain":
@@ -467,7 +470,14 @@ class TensorTrain:
         """
         k = self._range_exponent(scale_max)
         ys = (1.0 / (4**k)) * self
-        a = ys
+        # A0 = 1 (rank-1 constant): in the basin for all Ys <= 1, and far
+        # closer to 1/sqrt(Ys) >= 1 than the reference's A0 = Ys.
+        a = TensorTrain(
+            [
+                jnp.ones((1, i, o, 1), self.dtype)
+                for i, o in zip(self.input_shape, self.output_shape)
+            ]
+        )
         max_ranks = [1] + [i * o for i, o in zip(self.input_shape, self.output_shape)] + [1]
         for _ in range(max_iter):
             b = (-0.5) * (ys * (a * a).round(max_ranks)).add_const(-3.0)
@@ -496,6 +506,26 @@ class TensorTrain:
             dd = dd.round(ranks)
             a, c = b, dd
         return (2.0**k) * a
+
+
+def cap_ranks(
+    ranks: Sequence[int],
+    input_shape: Sequence[int],
+    output_shape: Sequence[int],
+) -> list[int]:
+    """Clamp requested bond ranks to the dimensional maxima.
+
+    Bond ``k`` can never exceed ``min(prod(phys[:k]), prod(phys[k:]))``. Using
+    capped ranks everywhere keeps TT state shapes identical across optimizer
+    steps (a jit/scan carry requirement the torch reference never faces).
+    """
+    phys = [i * o for i, o in zip(input_shape, output_shape)]
+    d = len(phys)
+    out = [1]
+    for k in range(1, d):
+        out.append(min(ranks[k], math.prod(phys[:k]), math.prod(phys[k:])))
+    out.append(1)
+    return out
 
 
 def _is_traced(x) -> bool:
