@@ -1,0 +1,279 @@
+"""Minimal LLaMA for TPU — functional JAX, surgery-compatible param tree.
+
+Replaces the reference's dependence on HF ``LlamaForCausalLM``
+(``scripts/simple_train.py:313-314`` builds it from the JSON configs in
+``scripts/configs/``). Every projection is a ``{"kernel": (in, out)}``
+subtree so ``sow_tpu.nn.prepare_sow`` can rewrite it; the forward calls
+``linear_apply`` and never needs to know whether a projection is dense or
+SoW.
+
+TPU notes: RMSNorm and rotary math run in fp32 regardless of param dtype;
+attention/matmuls run in the param dtype (bf16 in training) on the MXU;
+the whole forward is jit/pjit-friendly (static shapes, no Python branching
+on data).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sow_tpu.nn.surgery import linear_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 512
+    intermediate_size: int = 1376
+    num_hidden_layers: int = 8
+    num_attention_heads: int = 8
+    num_key_value_heads: Optional[int] = None
+    max_position_embeddings: int = 1024
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    initializer_range: float = 0.02
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    mlp_bias: bool = False
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_key_value_heads or self.num_attention_heads
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @staticmethod
+    def from_json(path: str) -> "LlamaConfig":
+        """Load one of the reference model-zoo configs
+        (``scripts/configs/llama_*.json``)."""
+        with open(path) as f:
+            raw = json.load(f)
+        known = {f.name for f in dataclasses.fields(LlamaConfig)}
+        return LlamaConfig(**{k: v for k, v in raw.items() if k in known})
+
+
+# Reference SoW target set for llama pretraining (simple_train.py:318).
+LLAMA_TARGET_MODULES = (
+    "q_proj",
+    "k_proj",
+    "v_proj",
+    "o_proj",
+    "gate_proj",
+    "up_proj",
+    "down_proj",
+)
+# finetune.py:292-298 excludes o_proj / gate_proj for the 7B adapter runs.
+LLAMA_FINETUNE_TARGET_MODULES = ("q_proj", "k_proj", "v_proj", "up_proj", "down_proj")
+
+
+# -- init --------------------------------------------------------------------
+
+def _init_linear(key, d_in, d_out, std, bias=False, dtype=jnp.float32):
+    p = {"kernel": (std * jax.random.normal(key, (d_in, d_out), jnp.float32)).astype(dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def init_params(key: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
+    """Initialize the parameter tree (N(0, initializer_range) like HF)."""
+    std = cfg.initializer_range
+    h, kvh, hd = cfg.hidden_size, cfg.kv_heads, cfg.head_dim
+    keys = iter(jax.random.split(key, 4 + 7 * cfg.num_hidden_layers))
+
+    layers = {}
+    for i in range(cfg.num_hidden_layers):
+        layers[str(i)] = {
+            "attn": {
+                "q_proj": _init_linear(next(keys), h, h, std, cfg.attention_bias, dtype),
+                "k_proj": _init_linear(next(keys), h, kvh * hd, std, cfg.attention_bias, dtype),
+                "v_proj": _init_linear(next(keys), h, kvh * hd, std, cfg.attention_bias, dtype),
+                "o_proj": _init_linear(next(keys), h, h, std, cfg.attention_bias, dtype),
+            },
+            "mlp": {
+                "gate_proj": _init_linear(next(keys), h, cfg.intermediate_size, std, cfg.mlp_bias, dtype),
+                "up_proj": _init_linear(next(keys), h, cfg.intermediate_size, std, cfg.mlp_bias, dtype),
+                "down_proj": _init_linear(next(keys), cfg.intermediate_size, h, std, cfg.mlp_bias, dtype),
+            },
+            "input_norm": {"scale": jnp.ones((h,), dtype)},
+            "post_norm": {"scale": jnp.ones((h,), dtype)},
+        }
+    params = {
+        "embed": {"embedding": (std * jax.random.normal(next(keys), (cfg.vocab_size, h), jnp.float32)).astype(dtype)},
+        "layers": layers,
+        "norm": {"scale": jnp.ones((h,), dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _init_linear(next(keys), h, cfg.vocab_size, std, False, dtype)
+    return params
+
+
+# -- forward -----------------------------------------------------------------
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    """LLaMA RMSNorm in fp32 (variance over the hidden axis)."""
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    out = x32 * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_tables(positions: jax.Array, head_dim: int, theta: float) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables, HF half-split convention: (..., seq, head_dim)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., seq, hd/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (batch, heads, seq, head_dim); HF rotate_half convention."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    cos = cos[:, None, :, :].astype(x.dtype)
+    sin = sin[:, None, :, :].astype(x.dtype)
+    return x * cos + rot * sin
+
+
+def _attention(layer_p: dict, x: jax.Array, cfg: LlamaConfig, cos, sin, mask) -> jax.Array:
+    b, t, h = x.shape
+    nh, kvh, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
+
+    q = linear_apply(layer_p["q_proj"], x).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    k = linear_apply(layer_p["k_proj"], x).reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
+    v = linear_apply(layer_p["v_proj"], x).reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
+
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if kvh != nh:  # GQA: repeat kv heads
+        rep = nh // kvh
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / math.sqrt(hd)
+    scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
+    return linear_apply(layer_p["o_proj"], out)
+
+
+def _mlp(layer_p: dict, x: jax.Array) -> jax.Array:
+    gate = jax.nn.silu(linear_apply(layer_p["gate_proj"], x))
+    up = linear_apply(layer_p["up_proj"], x)
+    return linear_apply(layer_p["down_proj"], gate * up)
+
+
+def forward(
+    params: dict,
+    input_ids: jax.Array,
+    cfg: LlamaConfig,
+    attention_mask: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Logits ``(batch, seq, vocab)``. ``attention_mask``: (batch, seq) with
+    1 = attend, 0 = padding (combined with the causal mask)."""
+    b, t = input_ids.shape
+    x = params["embed"]["embedding"][input_ids]
+
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+    if attention_mask is not None:
+        pad = attention_mask[:, None, None, :].astype(bool)
+        mask = causal & pad
+    else:
+        mask = causal
+
+    for i in range(cfg.num_hidden_layers):
+        lp = params["layers"][str(i)]
+        x = x + _attention(lp["attn"], rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps), cfg, cos, sin, mask)
+        x = x + _mlp(lp["mlp"], rms_norm(x, lp["post_norm"]["scale"], cfg.rms_norm_eps))
+
+    x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings:
+        logits = x @ params["embed"]["embedding"].T
+    else:
+        logits = linear_apply(params["lm_head"], x)
+    return logits
+
+
+def causal_lm_loss(
+    logits: jax.Array, labels: jax.Array, ignore_index: int = -100
+) -> jax.Array:
+    """Shifted next-token cross entropy with ignore mask, mean over valid
+    targets (HF ``LlamaForCausalLM`` convention; the pretrain loop masks pad
+    positions to -100, ``simple_train.py:606-609``). fp32 softmax."""
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = labels[:, 1:]
+    valid = targets != ignore_index
+    safe = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+# -- HF interop --------------------------------------------------------------
+
+def params_from_hf_state_dict(state_dict: dict, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
+    """Convert an HF ``LlamaForCausalLM`` torch state dict to our tree.
+
+    HF linear weights are (out, in); ours are (in, out) — transposed on
+    import. Accepts torch tensors or numpy arrays.
+    """
+    import numpy as np
+
+    def arr(t):
+        if hasattr(t, "detach"):
+            t = t.detach().to("cpu").float().numpy()
+        return jnp.asarray(np.asarray(t), dtype=dtype)
+
+    def lin(prefix):
+        p = {"kernel": arr(state_dict[f"{prefix}.weight"]).T}
+        if f"{prefix}.bias" in state_dict:
+            p["bias"] = arr(state_dict[f"{prefix}.bias"])
+        return p
+
+    layers = {}
+    for i in range(cfg.num_hidden_layers):
+        pre = f"model.layers.{i}"
+        layers[str(i)] = {
+            "attn": {
+                "q_proj": lin(f"{pre}.self_attn.q_proj"),
+                "k_proj": lin(f"{pre}.self_attn.k_proj"),
+                "v_proj": lin(f"{pre}.self_attn.v_proj"),
+                "o_proj": lin(f"{pre}.self_attn.o_proj"),
+            },
+            "mlp": {
+                "gate_proj": lin(f"{pre}.mlp.gate_proj"),
+                "up_proj": lin(f"{pre}.mlp.up_proj"),
+                "down_proj": lin(f"{pre}.mlp.down_proj"),
+            },
+            "input_norm": {"scale": arr(state_dict[f"{pre}.input_layernorm.weight"])},
+            "post_norm": {"scale": arr(state_dict[f"{pre}.post_attention_layernorm.weight"])},
+        }
+    params = {
+        "embed": {"embedding": arr(state_dict["model.embed_tokens.weight"])},
+        "layers": layers,
+        "norm": {"scale": arr(state_dict["model.norm.weight"])},
+    }
+    if "lm_head.weight" in state_dict:
+        params["lm_head"] = {"kernel": arr(state_dict["lm_head.weight"]).T}
+    return params
+
+
+def count_params(params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

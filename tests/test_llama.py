@@ -1,0 +1,172 @@
+"""LLaMA model tests: HF-torch logits parity, loss semantics, SoW surgery
+end-to-end through the model.
+
+The parity test is the replacement for the reference's implicit reliance on
+HF ``LlamaForCausalLM`` — it pins our forward to the official implementation
+to rtol 1e-3 in fp32 (BASELINE.md parity gate is rtol 1e-3 for bf16; fp32
+must be tighter).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sow_tpu.models import (
+    LLAMA_TARGET_MODULES,
+    LlamaConfig,
+    causal_lm_loss,
+    count_params,
+    forward,
+    get_config,
+    init_params,
+    params_from_hf_state_dict,
+)
+from sow_tpu.nn import SoWConfig, accumulate, iter_sow, prepare_sow
+
+CFG = get_config("llama_test")
+KEY = jax.random.PRNGKey(0)
+
+
+class TestForward:
+    def test_shapes(self):
+        params = init_params(KEY, CFG)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, CFG.vocab_size)
+        logits = forward(params, ids, CFG)
+        assert logits.shape == (2, 16, CFG.vocab_size)
+
+    def test_causality(self):
+        # Changing a future token must not change past logits.
+        params = init_params(KEY, CFG)
+        ids = jax.random.randint(jax.random.PRNGKey(2), (1, 16), 0, CFG.vocab_size)
+        logits1 = forward(params, ids, CFG)
+        ids2 = ids.at[0, 10].set((ids[0, 10] + 1) % CFG.vocab_size)
+        logits2 = forward(params, ids2, CFG)
+        np.testing.assert_allclose(
+            np.asarray(logits1[0, :10]), np.asarray(logits2[0, :10]), rtol=1e-5, atol=1e-5
+        )
+        assert np.abs(np.asarray(logits1[0, 10:]) - np.asarray(logits2[0, 10:])).max() > 1e-3
+
+    def test_padding_mask(self):
+        params = init_params(KEY, CFG)
+        ids = jax.random.randint(jax.random.PRNGKey(3), (1, 8), 0, CFG.vocab_size)
+        mask = jnp.array([[1, 1, 1, 1, 0, 0, 0, 0]])
+        logits_masked = forward(params, ids, CFG, attention_mask=mask)
+        short = forward(params, ids[:, :4], CFG)
+        np.testing.assert_allclose(
+            np.asarray(logits_masked[0, :4]), np.asarray(short[0]), rtol=1e-4, atol=1e-4
+        )
+
+
+class TestLoss:
+    def test_ignore_index_and_shift(self):
+        params = init_params(KEY, CFG)
+        ids = jax.random.randint(jax.random.PRNGKey(4), (2, 12), 0, CFG.vocab_size)
+        logits = forward(params, ids, CFG)
+        labels = ids.at[:, 6:].set(-100)
+        loss = causal_lm_loss(logits, labels)
+        assert loss.shape == () and float(loss) > 0
+        # all-ignored does not NaN
+        loss2 = causal_lm_loss(logits, jnp.full_like(ids, -100))
+        assert float(loss2) == 0.0
+
+    def test_loss_near_log_vocab_at_init(self):
+        params = init_params(KEY, CFG)
+        ids = jax.random.randint(jax.random.PRNGKey(5), (4, 32), 0, CFG.vocab_size)
+        loss = float(causal_lm_loss(forward(params, ids, CFG), ids))
+        assert abs(loss - np.log(CFG.vocab_size)) < 0.5
+
+
+@pytest.mark.slow
+class TestHFParity:
+    def test_logits_match_hf_llama(self):
+        torch = pytest.importorskip("torch")
+        from transformers import LlamaConfig as HFConfig
+        from transformers import LlamaForCausalLM
+
+        hf_cfg = HFConfig(
+            vocab_size=CFG.vocab_size,
+            hidden_size=CFG.hidden_size,
+            intermediate_size=CFG.intermediate_size,
+            num_hidden_layers=CFG.num_hidden_layers,
+            num_attention_heads=CFG.num_attention_heads,
+            num_key_value_heads=CFG.kv_heads,
+            max_position_embeddings=CFG.max_position_embeddings,
+            rms_norm_eps=CFG.rms_norm_eps,
+            rope_theta=CFG.rope_theta,
+            attention_bias=False,
+            tie_word_embeddings=False,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(0)
+        model = LlamaForCausalLM(hf_cfg).eval()
+        params = params_from_hf_state_dict(model.state_dict(), CFG)
+
+        ids_np = np.random.default_rng(0).integers(0, CFG.vocab_size, (2, 16))
+        with torch.no_grad():
+            ref = model(torch.tensor(ids_np)).logits.numpy()
+        ours = np.asarray(forward(params, jnp.asarray(ids_np), CFG))
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-4)
+
+    def test_gqa_parity(self):
+        torch = pytest.importorskip("torch")
+        from transformers import LlamaConfig as HFConfig
+        from transformers import LlamaForCausalLM
+
+        cfg = LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        )
+        hf_cfg = HFConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            rms_norm_eps=cfg.rms_norm_eps, attention_bias=False,
+            tie_word_embeddings=False, attn_implementation="eager",
+        )
+        torch.manual_seed(1)
+        model = LlamaForCausalLM(hf_cfg).eval()
+        params = params_from_hf_state_dict(model.state_dict(), cfg)
+        ids_np = np.random.default_rng(1).integers(0, 128, (2, 12))
+        with torch.no_grad():
+            ref = model(torch.tensor(ids_np)).logits.numpy()
+        ours = np.asarray(forward(params, jnp.asarray(ids_np), cfg))
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-4)
+
+
+class TestSoWThroughModel:
+    def test_surgery_replaces_all_projections(self):
+        params = init_params(KEY, CFG)
+        cfg = SoWConfig(target_modules=LLAMA_TARGET_MODULES, rank=4, decompose=None)
+        sow_params = prepare_sow(params, cfg, jax.random.PRNGKey(6))
+        paths = [p for p, _ in iter_sow(sow_params)]
+        assert len(paths) == 7 * CFG.num_hidden_layers
+        # lm_head untouched
+        assert "kernel" in sow_params["lm_head"]
+
+    def test_forward_and_accumulate_continuity(self):
+        params = init_params(KEY, CFG)
+        cfg = SoWConfig(target_modules=LLAMA_TARGET_MODULES, rank=4, decompose=None)
+        sow_params = prepare_sow(params, cfg, jax.random.PRNGKey(7))
+        ids = jax.random.randint(jax.random.PRNGKey(8), (2, 16), 0, CFG.vocab_size)
+        before = np.asarray(forward(sow_params, ids, CFG))
+        sow_params = accumulate(sow_params, jax.random.PRNGKey(9))
+        after = np.asarray(forward(sow_params, ids, CFG))
+        np.testing.assert_allclose(after, before, rtol=1e-3, atol=1e-4)
+
+    def test_trainable_reduction(self):
+        params = init_params(KEY, get_config("llama_9m"))
+        n_dense = count_params(params)
+        cfg = SoWConfig(target_modules=LLAMA_TARGET_MODULES, rank=8, decompose=None)
+        sow_params = prepare_sow(params, cfg, jax.random.PRNGKey(10))
+        from sow_tpu.nn import param_labels
+
+        labels = param_labels(sow_params)
+        n_sow_trainable = sum(
+            int(x.size)
+            for x, l in zip(
+                jax.tree_util.tree_leaves(sow_params), jax.tree_util.tree_leaves(labels)
+            )
+            if l != "frozen"
+        )
+        # Blank SoW pretraining: projection params become (in+out)*r*n vs in*out.
+        assert n_sow_trainable < n_dense
