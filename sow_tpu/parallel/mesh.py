@@ -1,0 +1,120 @@
+"""Device mesh + sharding rules — the framework's parallelism layer.
+
+Replaces the reference's NCCL DDP (``simple_train.py:229,566-572``) with
+SPMD over a ``jax.sharding.Mesh``:
+
+  * ``data``  — pure data parallelism (the only parallelism the reference
+                has; DDP allreduce becomes an XLA psum over ICI).
+  * ``fsdp``  — param/optimizer-state sharding (the ZeRO the reference
+                imports but never uses, ``training_utils.py:9-14``), and a
+                second batch axis: batch shards across data x fsdp.
+  * ``model`` — tensor parallelism over the projections' output axes
+                (beyond reference scope; free on TPU via GSPMD).
+
+Shardings are assigned by param-path rules; XLA GSPMD inserts all
+collectives (psum / all-gather / reduce-scatter) — no hand-written comm.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+MESH_AXES = ("data", "fsdp", "model")
+
+
+def make_mesh(
+    data: int = -1, fsdp: int = 1, model: int = 1, devices=None
+) -> Mesh:
+    """Build a ``(data, fsdp, model)`` mesh. ``data=-1`` absorbs remaining
+    devices. Works identically on real TPU slices and on
+    ``--xla_force_host_platform_device_count`` virtual CPU devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        if n % (fsdp * model) != 0:
+            raise ValueError(f"{n} devices not divisible by fsdp*model={fsdp * model}")
+        data = n // (fsdp * model)
+    if data * fsdp * model != n:
+        raise ValueError(f"mesh {data}x{fsdp}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, fsdp, model)
+    return Mesh(dev_array, MESH_AXES)
+
+
+def _spec_for_path(path: tuple, leaf) -> P:
+    """Sharding rule from the trailing param-path key + leaf rank."""
+    name = None
+    for entry in reversed(path):
+        if hasattr(entry, "name"):  # GetAttrKey (dataclass field)
+            name = entry.name
+            break
+        if hasattr(entry, "key"):  # DictKey
+            name = entry.key
+            break
+    ndim = getattr(leaf, "ndim", 0)
+
+    if name == "embedding" and ndim == 2:
+        return P("model", "fsdp")  # vocab x hidden
+    if name == "kernel" and ndim == 2:
+        return P("fsdp", "model")  # in x out
+    if name == "down" and ndim == 3:
+        return P(None, "fsdp", None)  # (n_iter, in, r): shard in
+    if name == "up" and ndim == 3:
+        return P(None, None, "model")  # (n_iter, r, out): shard out
+    if name == "acc_down" and ndim == 2:
+        return P("fsdp", None)
+    if name == "acc_up" and ndim == 2:
+        return P(None, "model")
+    return P()  # norms, biases, scalars: replicated
+
+
+def params_shardings(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding tree matching ``params``' structure."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    shardings = [NamedSharding(mesh, _spec_for_path(path, leaf)) for path, leaf in flat]
+    return jax.tree_util.tree_unflatten(treedef, shardings)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch sharded over data x fsdp (leading axis)."""
+    return NamedSharding(mesh, P(("data", "fsdp")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def scalar_like_shardings(mesh: Mesh, tree: Any) -> Any:
+    """Fully-replicated sharding tree (e.g. for small optimizer scalars)."""
+    return jax.tree_util.tree_map(lambda _: replicated(mesh), tree)
+
+
+def opt_state_shardings(mesh: Mesh, opt_state, params_sh) -> Any:
+    """Optimizer-state shardings: moments follow their param's sharding,
+    counts/steps replicated.
+
+    Works for GroupedAdamWState (step, count, mu, nu): mu/nu mirror params'
+    structure (frozen leaves hold 0-d placeholders -> replicated).
+    """
+    rep = replicated(mesh)
+
+    def moment_sh(sh, m):
+        # 0-d placeholders (frozen leaves) are replicated.
+        if getattr(m, "ndim", 0) == 0:
+            return rep
+        return sh
+
+    from sow_tpu.optim.adamw import GroupedAdamWState
+
+    if isinstance(opt_state, GroupedAdamWState):
+        return GroupedAdamWState(
+            step=rep,
+            count=jax.tree_util.tree_map(lambda _: rep, opt_state.count),
+            mu=jax.tree_util.tree_map(moment_sh, params_sh, opt_state.mu),
+            nu=jax.tree_util.tree_map(moment_sh, params_sh, opt_state.nu),
+        )
+    # fall back: replicate everything
+    return jax.tree_util.tree_map(lambda _: rep, opt_state)

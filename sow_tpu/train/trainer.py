@@ -1,0 +1,341 @@
+"""Training core: sharded train step, SoW accumulation events, evaluation.
+
+TPU-native rebuild of the reference pretraining loop
+(``scripts/simple_train.py:216-730``). The per-rank torchrun process model
+becomes a single SPMD program: one jitted train step over a
+``(data, fsdp, model)`` mesh; DDP's bucketed allreduce is XLA's psum,
+gradient accumulation is a ``lax.scan`` over microbatches, and the periodic
+SoW accumulation + optimizer-group reset (``simple_train.py:618-626``)
+happens between steps as a pure param/opt-state rebuild.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sow_tpu.models import llama as llama_lib
+from sow_tpu.models.configs import get_config
+from sow_tpu.nn import SoWConfig, param_labels, prepare_sow
+from sow_tpu.nn import accumulate as accumulate_tree
+from sow_tpu.optim.adamw import apply_updates, grouped_adamw
+from sow_tpu.optim.schedules import Schedule, get_schedule
+from sow_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    opt_state_shardings,
+    params_shardings,
+    replicated,
+)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Pretraining configuration (flag surface of ``simple_train.py:50-116``,
+    unified into one typed config)."""
+
+    model: str = "llama_60m"
+    architecture: str = "sow"  # linear | sow | lora
+    # optimization
+    lr: float = 1e-2
+    sow_lr: float = 1e-3
+    weight_decay: float = 0.0
+    grad_clipping: float = 0.0
+    scheduler: str = "cosine"
+    warmup_steps: float = 0.05  # ratio of num_training_steps
+    min_lr_ratio: float = 0.03
+    lr_decay: float = 1.0  # cycle_ratio
+    reset_scheduler: bool = False  # per-cycle SoW LR restarts
+    num_training_steps: int = 25_000
+    gradient_accumulation: int = 1
+    # sow
+    rank: int = 50
+    n_iter: int = 1
+    sow_scale: float = 1.0
+    sow_accumulation: int = 5_000  # update steps between accumulations
+    init_method: str = "normal_QR"
+    grow_rank: bool = False
+    # data/model
+    batch_size: int = 128  # per-step global batch (sequences)
+    max_length: int = 256
+    dtype: str = "bfloat16"
+    seed: int = 42
+    # mesh
+    mesh_data: int = -1
+    mesh_fsdp: int = 1
+    mesh_model: int = 1
+
+
+def _dtype(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+def global_norm(tree) -> jax.Array:
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree_util.tree_leaves(tree))
+    )
+
+
+class Trainer:
+    """Owns params, optimizer state, mesh and the jitted step functions."""
+
+    def __init__(self, cfg: TrainConfig, mesh=None):
+        self.cfg = cfg
+        self.model_cfg = get_config(cfg.model)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.mesh_data, cfg.mesh_fsdp, cfg.mesh_model
+        )
+        self.dtype = _dtype(cfg.dtype)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        key, init_key, sow_key = jax.random.split(key, 3)
+        params = llama_lib.init_params(init_key, self.model_cfg, dtype=self.dtype)
+
+        if cfg.architecture in ("sow", "lora"):
+            sow_cfg = SoWConfig(
+                target_modules=llama_lib.LLAMA_TARGET_MODULES,
+                rank=cfg.rank,
+                n_iter=cfg.n_iter,
+                scale=cfg.sow_scale,
+                init_method=cfg.init_method,
+                decompose=None,  # blank layers for pretraining (simple_train.py:320-331)
+                dtype=self.dtype,
+                grow_rank=cfg.grow_rank,
+            )
+            params = prepare_sow(params, sow_cfg, sow_key)
+            if cfg.architecture == "lora":
+                # ref simple_train.py:335-349: LoRA = SoW with a frozen random
+                # base and accumulation disabled. One immediate accumulation
+                # freezes the random factors as the base (B resets to 0).
+                key, k2 = jax.random.split(key)
+                params = accumulate_tree(params, k2)
+
+        self.params = self._device_put_params(params)
+        self._build_optimizer()
+        self.opt_state = jax.jit(
+            self.opt.init, out_shardings=self._opt_shardings(self.params)
+        )(self.params)
+        self.update_step = 0
+        self.tokens_seen = 0
+        self._jit_cache: dict[Any, Any] = {}
+
+    # -- sharding helpers --------------------------------------------------
+    def _device_put_params(self, params):
+        sh = params_shardings(self.mesh, params)
+        return jax.device_put(params, sh)
+
+    def _opt_shardings(self, params):
+        sh = params_shardings(self.mesh, params)
+        dummy = jax.eval_shape(self.opt.init, params)
+        return opt_state_shardings(self.mesh, dummy, sh)
+
+    # -- optimizer ---------------------------------------------------------
+    def _schedules(self) -> dict[str, Schedule]:
+        cfg = self.cfg
+        regular = get_schedule(
+            cfg.scheduler,
+            num_training_steps=cfg.num_training_steps,
+            warmup_ratio=cfg.warmup_steps,
+            min_lr_ratio=cfg.min_lr_ratio,
+            cycle_length=cfg.num_training_steps if cfg.scheduler == "cosine" else None,
+            cycle_ratio=1.0,
+        )
+        scheds = {"regular": regular}
+        if cfg.reset_scheduler:
+            # SoW group restarts its cosine every accumulation cycle
+            # (simple_train.py:516-523 + get_all_schedulers).
+            n = cfg.num_training_steps
+            cyc = cfg.sow_accumulation
+            n = (n // cyc) * cyc if n % cyc else n
+            scheds["sow"] = get_schedule(
+                "cosine",
+                num_training_steps=n,
+                warmup_ratio=cfg.warmup_steps,
+                min_lr_ratio=cfg.min_lr_ratio,
+                cycle_length=cyc,
+                cycle_ratio=cfg.lr_decay,
+            )
+        else:
+            scheds["sow"] = regular
+        return scheds
+
+    def _build_optimizer(self):
+        labels = param_labels(self.params) if self._has_sow() else jax.tree_util.tree_map(
+            lambda _: "regular", self.params
+        )
+        self.labels = labels
+        self.opt = grouped_adamw(
+            labels,
+            lrs={"regular": self.cfg.lr, "sow": self.cfg.sow_lr},
+            schedules=self._schedules(),
+            weight_decay=self.cfg.weight_decay,
+        )
+
+    def _has_sow(self) -> bool:
+        return self.cfg.architecture in ("sow", "lora")
+
+    # -- steps -------------------------------------------------------------
+    def _loss_fn(self, params, input_ids, attention_mask):
+        labels = jnp.where(attention_mask.astype(bool), input_ids, -100)
+        logits = llama_lib.forward(params, input_ids, self.model_cfg, attention_mask)
+        return llama_lib.causal_lm_loss(logits, labels)
+
+    def _make_train_step(self):
+        cfg = self.cfg
+        opt = self.opt
+
+        def train_step(params, opt_state, input_ids, attention_mask):
+            accum = cfg.gradient_accumulation
+
+            def micro_loss(p, ids, mask):
+                return self._loss_fn(p, ids, mask)
+
+            if accum > 1:
+                ids = input_ids.reshape(accum, -1, input_ids.shape[-1])
+                msk = attention_mask.reshape(accum, -1, attention_mask.shape[-1])
+
+                def body(carry, xs):
+                    loss_acc, grad_acc = carry
+                    loss, grads = jax.value_and_grad(micro_loss)(params, xs[0], xs[1])
+                    grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+                    return (loss_acc + loss, grad_acc), None
+
+                zero = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), params
+                )
+                (loss_sum, grads), _ = jax.lax.scan(body, (jnp.float32(0), zero), (ids, msk))
+                loss = loss_sum / accum
+                grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            else:
+                loss, grads = jax.value_and_grad(micro_loss)(params, input_ids, attention_mask)
+
+            gnorm = global_norm(grads)
+            if cfg.grad_clipping > 0.0:
+                factor = jnp.minimum(1.0, cfg.grad_clipping / (gnorm + 1e-6))
+                grads = jax.tree_util.tree_map(
+                    lambda g: (g.astype(jnp.float32) * factor).astype(g.dtype), grads
+                )
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = apply_updates(params, updates)
+            return params, opt_state, {"loss": loss, "grad_norm": gnorm}
+
+        p_sh = params_shardings(self.mesh, self.params)
+        o_sh = self._opt_shardings(self.params)
+        b_sh = batch_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        return jax.jit(
+            train_step,
+            in_shardings=(p_sh, o_sh, b_sh, b_sh),
+            out_shardings=(p_sh, o_sh, {"loss": rep, "grad_norm": rep}),
+            donate_argnums=(0, 1),
+        )
+
+    def _train_step_fn(self):
+        key = jax.tree_util.tree_structure(self.params)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._make_train_step()
+        return self._jit_cache[key]
+
+    def step(self, input_ids: jax.Array, attention_mask: Optional[jax.Array] = None):
+        """One update step (the batch already spans gradient accumulation)."""
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        fn = self._train_step_fn()
+        self.params, self.opt_state, metrics = fn(
+            self.params, self.opt_state, input_ids, attention_mask
+        )
+        self.update_step += 1
+        self.tokens_seen += int(attention_mask.sum())
+        if (
+            self._has_sow()
+            and self.cfg.architecture == "sow"
+            and self.cfg.sow_accumulation > 0
+            and self.update_step % self.cfg.sow_accumulation == 0
+            and self.update_step < self.cfg.num_training_steps
+        ):
+            self.run_accumulation()
+        return metrics
+
+    # -- SoW accumulation event --------------------------------------------
+    def run_accumulation(self):
+        """Fold factors into bases + reset the SoW optimizer group.
+
+        Mirrors ``simple_train.py:618-626``: ``accumulate(model)`` then
+        ``reset_optimizer(optimizer, group_id=1)``. Param structure can
+        change (acc buffers appear / grow), so the optimizer and its state
+        are rebuilt; non-SoW moments are carried over by param path — only
+        the SoW group restarts, exactly like the reference.
+        """
+        key = jax.random.PRNGKey(self.cfg.seed + 1000 + self.update_step)
+        new_params = accumulate_tree(self.params, key)
+        old_state = self.opt_state
+
+        old_moments = {}
+        for name, tree in (("count", old_state.count), ("mu", old_state.mu), ("nu", old_state.nu)):
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+                old_moments[(name, jax.tree_util.keystr(path))] = leaf
+
+        self.params = self._device_put_params(new_params)
+        self._build_optimizer()
+        fresh = jax.jit(self.opt.init, out_shardings=self._opt_shardings(self.params))(
+            self.params
+        )
+
+        def carry_over(name, tree, labels):
+            flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+            lab_leaves = jax.tree_util.tree_leaves(labels)
+            out = []
+            for (path, leaf), lab in zip(flat, lab_leaves):
+                k = (name, jax.tree_util.keystr(path))
+                if lab != "sow" and k in old_moments and old_moments[k].shape == leaf.shape:
+                    out.append(old_moments[k])
+                else:
+                    out.append(leaf)  # sow group: fresh zeros == the reset
+            return jax.tree_util.tree_unflatten(treedef, out)
+
+        self.opt_state = type(old_state)(
+            step=old_state.step,
+            count=carry_over("count", fresh.count, self.labels),
+            mu=carry_over("mu", fresh.mu, self.labels),
+            nu=carry_over("nu", fresh.nu, self.labels),
+        )
+
+    # -- eval --------------------------------------------------------------
+    def _make_eval_step(self):
+        def eval_step(params, input_ids, attention_mask):
+            labels = jnp.where(attention_mask.astype(bool), input_ids, -100)
+            logits = llama_lib.forward(params, input_ids, self.model_cfg, attention_mask)
+            loss = llama_lib.causal_lm_loss(logits, labels)
+            ntok = jnp.maximum((labels[:, 1:] != -100).sum(), 1)
+            return loss, ntok
+
+        p_sh = params_shardings(self.mesh, self.params)
+        b_sh = batch_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        return jax.jit(
+            eval_step, in_shardings=(p_sh, b_sh, b_sh), out_shardings=(rep, rep)
+        )
+
+    def evaluate(self, batches, max_tokens: int = 5_000_000):
+        """Streamed eval to a token budget (ref ``simple_train.py:121-164``
+        evaluates C4-val to 5M tokens and all-gathers the loss; here the
+        global mean falls out of the sharded jit)."""
+        fn = self._make_eval_step()
+        total_loss, total_tok, n = 0.0, 0, 0
+        for batch in batches:
+            ids, mask = batch["input_ids"], batch.get("attention_mask")
+            if mask is None:
+                mask = jnp.ones_like(ids)
+            loss, ntok = fn(self.params, ids, mask)
+            total_loss += float(loss) * int(ntok)
+            total_tok += int(ntok)
+            n += 1
+            if total_tok >= max_tokens:
+                break
+        mean = total_loss / max(total_tok, 1)
+        return {"eval_loss": mean, "perplexity": float(jnp.exp(jnp.asarray(mean))), "eval_tokens": total_tok}

@@ -1,0 +1,132 @@
+"""End-to-end training tests on a simulated 8-device mesh.
+
+The reference validates multi-GPU behavior only by running real jobs
+(SURVEY §4); here the full SPMD program — sharded params, batch across
+data x fsdp, TP across model — runs on 8 virtual CPU devices, including the
+mid-training SoW accumulation + optimizer reset event.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sow_tpu.data.synthetic import affine_stream
+from sow_tpu.nn import iter_sow
+from sow_tpu.parallel.mesh import make_mesh
+from sow_tpu.train.trainer import TrainConfig, Trainer
+
+
+def make_trainer(**overrides):
+    cfg = TrainConfig(
+        model="llama_test",
+        architecture=overrides.pop("architecture", "sow"),
+        lr=1e-3,
+        sow_lr=1e-3,
+        rank=4,
+        num_training_steps=50,
+        sow_accumulation=10,
+        batch_size=8,
+        max_length=16,
+        dtype="float32",
+        scheduler="cosine",
+        warmup_steps=0.1,
+        mesh_data=overrides.pop("mesh_data", 2),
+        mesh_fsdp=overrides.pop("mesh_fsdp", 2),
+        mesh_model=overrides.pop("mesh_model", 2),
+        **overrides,
+    )
+    return Trainer(cfg)
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_eight_devices_available(self):
+        assert len(jax.devices()) == 8
+
+    def test_sow_training_loss_decreases_with_accumulation_event(self):
+        trainer = make_trainer()
+        data = affine_stream(8, 16, trainer.model_cfg.vocab_size, seed=0)
+        losses = []
+        for i in range(30):
+            batch = next(data)
+            m = trainer.step(jnp.asarray(batch["input_ids"]))
+            losses.append(float(m["loss"]))
+        # crossed two accumulation events (steps 10, 20)
+        assert trainer.update_step == 30
+        for _, layer in iter_sow(trainer.params):
+            assert layer.acc_down is not None  # bases materialized
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    def test_dense_training(self):
+        trainer = make_trainer(architecture="linear")
+        data = affine_stream(8, 16, trainer.model_cfg.vocab_size, seed=1)
+        losses = [float(trainer.step(jnp.asarray(next(data)["input_ids"]))["loss"]) for _ in range(15)]
+        assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+    def test_accumulation_continuity_of_loss(self):
+        # Loss on a fixed batch is unchanged by the accumulation event.
+        trainer = make_trainer()
+        data = affine_stream(8, 16, trainer.model_cfg.vocab_size, seed=2)
+        for _ in range(3):
+            trainer.step(jnp.asarray(next(data)["input_ids"]))
+        batch = jnp.asarray(next(data)["input_ids"])
+        eval_fn = trainer._make_eval_step()
+        mask = jnp.ones_like(batch)
+        before = float(eval_fn(trainer.params, batch, mask)[0])
+        trainer.run_accumulation()
+        after = float(trainer._make_eval_step()(trainer.params, batch, mask)[0])
+        assert abs(after - before) < 1e-3
+
+    def test_regular_moments_survive_accumulation(self):
+        trainer = make_trainer()
+        data = affine_stream(8, 16, trainer.model_cfg.vocab_size, seed=3)
+        for _ in range(5):
+            trainer.step(jnp.asarray(next(data)["input_ids"]))
+        # embed moments are "regular": nonzero before, preserved after
+        mu_embed_before = np.asarray(trainer.opt_state.mu["embed"]["embedding"])
+        assert np.abs(mu_embed_before).max() > 0
+        trainer.run_accumulation()
+        mu_embed_after = np.asarray(trainer.opt_state.mu["embed"]["embedding"])
+        np.testing.assert_array_equal(mu_embed_before, mu_embed_after)
+        # sow factor moments are zeroed
+        for _, layer_mu in iter_sow(trainer.opt_state.mu):
+            pass  # opt_state.mu mirrors params; SoW nodes hold zeros for down/up
+        layer_mu = trainer.opt_state.mu["layers"]["0"]["attn"]["q_proj"]
+        assert float(jnp.abs(layer_mu.down).max()) == 0.0
+
+    def test_gradient_accumulation_matches_big_batch(self):
+        t1 = make_trainer(gradient_accumulation=1, architecture="linear", mesh_data=8, mesh_fsdp=1, mesh_model=1)
+        t2 = make_trainer(gradient_accumulation=2, architecture="linear", mesh_data=8, mesh_fsdp=1, mesh_model=1)
+        batch = next(affine_stream(8, 16, t1.model_cfg.vocab_size, seed=4))
+        ids = jnp.asarray(batch["input_ids"])
+        m1 = t1.step(ids)
+        m2 = t2.step(ids)
+        # same data: averaged-microbatch loss equals big-batch loss
+        assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+        for a, b in zip(
+            jax.tree_util.tree_leaves(t1.params), jax.tree_util.tree_leaves(t2.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    def test_eval(self):
+        trainer = make_trainer()
+        data = affine_stream(8, 16, trainer.model_cfg.vocab_size, seed=5)
+        # 3 batches x 8 rows x 15 shifted targets = 360 tokens
+        out = trainer.evaluate((next(data) | {"input_ids": jnp.asarray(next(data)["input_ids"])} for _ in range(3)), max_tokens=350)
+        assert out["eval_loss"] > 0 and out["eval_tokens"] >= 350
+
+
+class TestShardingPlacement:
+    def test_param_shardings_cover_mesh(self):
+        trainer = make_trainer()
+        kernel = trainer.params["lm_head"]["kernel"]
+        # lm_head kernel sharded over fsdp x model
+        assert not kernel.sharding.is_fully_replicated
+        norm = trainer.params["norm"]["scale"]
+        assert norm.sharding.is_fully_replicated
+
+    def test_sow_factor_sharding(self):
+        trainer = make_trainer()
+        layer = trainer.params["layers"]["0"]["attn"]["q_proj"]
+        assert not layer.down.sharding.is_fully_replicated  # sharded on fsdp
