@@ -1,0 +1,93 @@
+"""Benchmark: llama_60m SoW pretraining throughput vs dense AdamW baseline.
+
+Runs on whatever accelerator JAX exposes (one TPU chip under the driver).
+Prints ONE JSON line:
+  {"metric": ..., "value": tokens/sec (SoW), "unit": "tokens/s",
+   "vs_baseline": sow_tps / dense_tps}
+
+The BASELINE.md target is SoW >= dense tokens/sec/chip, so vs_baseline >= 1.0
+means the SoW machinery is free at the step level (the folded effective-weight
+design) while trainable params + optimizer state stay a fraction of dense.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_arch(architecture: str, steps: int = 20, warmup: int = 3) -> dict:
+    from sow_tpu.data.synthetic import random_stream
+    from sow_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        model="llama_60m",
+        architecture=architecture,
+        rank=50,
+        sow_accumulation=0,  # keep the hot loop pure; accumulation is cold-path
+        batch_size=64,
+        max_length=256,
+        dtype="bfloat16",
+        num_training_steps=10_000,
+        mesh_data=-1,
+        mesh_fsdp=1,
+        mesh_model=1,
+    )
+    trainer = Trainer(cfg)
+    data = random_stream(cfg.batch_size, cfg.max_length, trainer.model_cfg.vocab_size)
+    batches = [jnp.asarray(next(data)["input_ids"]) for _ in range(4)]
+
+    for i in range(warmup):
+        trainer.step(batches[i % len(batches)])
+    jax.block_until_ready(trainer.params)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        m = trainer.step(batches[i % len(batches)])
+    jax.block_until_ready((trainer.params, m["loss"]))
+    dt = time.perf_counter() - t0
+
+    tokens = steps * cfg.batch_size * cfg.max_length
+    # trainable / optimizer HBM accounting (ref memory_utils.py:13-27)
+    from sow_tpu.optim.adamw import GroupedAdamWState
+
+    opt_bytes = sum(
+        x.size * x.dtype.itemsize
+        for tree in (trainer.opt_state.mu, trainer.opt_state.nu)
+        for x in jax.tree_util.tree_leaves(tree)
+    )
+    return {
+        "tokens_per_sec": tokens / dt,
+        "step_ms": dt / steps * 1e3,
+        "optimizer_bytes": int(opt_bytes),
+    }
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    dense = bench_arch("linear", steps)
+    sow = bench_arch("sow", steps)
+    result = {
+        "metric": "llama60m_sow_pretrain_throughput",
+        "value": round(sow["tokens_per_sec"], 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(sow["tokens_per_sec"] / dense["tokens_per_sec"], 4),
+        "detail": {
+            "dense_tokens_per_sec": round(dense["tokens_per_sec"], 1),
+            "sow_step_ms": round(sow["step_ms"], 2),
+            "dense_step_ms": round(dense["step_ms"], 2),
+            "sow_optimizer_bytes": sow["optimizer_bytes"],
+            "dense_optimizer_bytes": dense["optimizer_bytes"],
+            "optimizer_mem_ratio": round(sow["optimizer_bytes"] / dense["optimizer_bytes"], 4),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

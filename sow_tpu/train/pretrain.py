@@ -1,0 +1,120 @@
+"""Pretraining entry point — the flagship workload (ref ``simple_train.py``).
+
+    python -m sow_tpu.train.pretrain --model llama_60m --architecture sow \
+        --rank 50 --sow-accumulation 5000 --num-training-steps 25000 \
+        --lr 0.01 --sow-lr 0.001 --batch-size 128 --max-length 256
+
+One SPMD process drives the whole mesh (vs the reference's one-process-per-
+GPU torchrun). Periodic eval to a token budget, checkpoint/resume, tokens/sec
+telemetry, and startup memory report all mirror ``simple_train.py``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from sow_tpu.checkpoint import latest_checkpoint, restore_opt_state, restore_params, save_checkpoint
+from sow_tpu.data.c4 import make_pretrain_stream
+from sow_tpu.train.trainer import TrainConfig, Trainer
+from sow_tpu.utils.memory import format_memory_report
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="SoW TPU pretraining")
+    for f in dataclasses.fields(TrainConfig):
+        flag = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(flag, action="store_true", default=f.default)
+        else:
+            p.add_argument(flag, type=type(f.default), default=f.default)
+    p.add_argument("--save-dir", type=str, default=None)
+    p.add_argument("--save-every", type=int, default=10_000)
+    p.add_argument("--eval-every", type=int, default=2_000)
+    p.add_argument("--eval-tokens", type=int, default=5_000_000)
+    p.add_argument("--logging-steps", type=int, default=100)
+    p.add_argument("--synthetic-data", action="store_true", default=False)
+    p.add_argument("--continue-from", type=str, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg_kwargs = {f.name: getattr(args, f.name) for f in dataclasses.fields(TrainConfig)}
+    cfg = TrainConfig(**cfg_kwargs)
+
+    trainer = Trainer(cfg)
+    print(f"devices: {jax.devices()}")
+    print(f"mesh: {trainer.mesh.shape}")
+    print(format_memory_report(trainer.params, trainer.opt_state))
+
+    start_step = 0
+    if args.continue_from:
+        ckpt = latest_checkpoint(args.continue_from)
+        if ckpt:
+            trainer.params, state = restore_params(trainer.params, ckpt)
+            trainer.params = trainer._device_put_params(trainer.params)
+            trainer._build_optimizer()
+            fresh = trainer.opt.init(trainer.params)
+            trainer.opt_state = restore_opt_state(fresh, ckpt)
+            start_step = state["update_step"]
+            trainer.update_step = start_step
+            trainer.tokens_seen = state.get("tokens_seen", 0)
+            print(f"resumed from {ckpt} at step {start_step}")
+
+    data = make_pretrain_stream(
+        cfg.batch_size * cfg.gradient_accumulation,
+        cfg.max_length,
+        trainer.model_cfg.vocab_size,
+        seed=cfg.seed,
+        synthetic=args.synthetic_data,
+    )
+
+    t_log = time.perf_counter()
+    tokens_at_log = trainer.tokens_seen
+    for _ in range(start_step, cfg.num_training_steps):
+        batch = next(data)
+        metrics = trainer.step(
+            jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"])
+        )
+        step = trainer.update_step
+
+        if step % args.logging_steps == 0:
+            dt = time.perf_counter() - t_log
+            tps = (trainer.tokens_seen - tokens_at_log) / max(dt, 1e-9)
+            print(
+                f"step {step} | loss {float(metrics['loss']):.4f} | "
+                f"grad_norm {float(metrics['grad_norm']):.3f} | {tps:,.0f} tokens/s"
+            )
+            t_log, tokens_at_log = time.perf_counter(), trainer.tokens_seen
+
+        if args.save_dir and step % args.save_every == 0:
+            save_checkpoint(
+                args.save_dir, step, trainer.params, trainer.opt_state,
+                config=dataclasses.asdict(cfg), tokens_seen=trainer.tokens_seen,
+            )
+
+        if args.eval_every and step % args.eval_every == 0:
+            eval_data = make_pretrain_stream(
+                cfg.batch_size, cfg.max_length, trainer.model_cfg.vocab_size,
+                seed=cfg.seed + 1, synthetic=args.synthetic_data, split="validation",
+            )
+            out = trainer.evaluate(eval_data, max_tokens=args.eval_tokens)
+            print(f"eval @ {step}: loss {out['eval_loss']:.4f} ppl {out['perplexity']:.2f}")
+
+    if args.save_dir:
+        save_checkpoint(
+            args.save_dir, trainer.update_step, trainer.params, trainer.opt_state,
+            config=dataclasses.asdict(cfg), tokens_seen=trainer.tokens_seen,
+        )
+    print(json.dumps({"final_step": trainer.update_step, "tokens_seen": trainer.tokens_seen}))
+
+
+if __name__ == "__main__":
+    main()

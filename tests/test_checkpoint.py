@@ -1,0 +1,101 @@
+"""Checkpoint/resume tests, including the SoW dynamic-shape materialization
+(acc buffers appearing after accumulation — ref ``prepare.py:188-215``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sow_tpu.checkpoint import (
+    latest_checkpoint,
+    restore_opt_state,
+    restore_params,
+    save_checkpoint,
+)
+from sow_tpu.data.synthetic import affine_stream
+from sow_tpu.models import forward, get_config, init_params
+from sow_tpu.train.trainer import TrainConfig, Trainer
+
+
+def tiny_trainer(**kw):
+    cfg = TrainConfig(
+        model="llama_test", architecture="sow", rank=4, num_training_steps=40,
+        sow_accumulation=kw.pop("sow_accumulation", 5), batch_size=8, max_length=16,
+        dtype="float32", lr=1e-3, sow_lr=1e-3,
+        mesh_data=-1, mesh_fsdp=1, mesh_model=1, **kw,
+    )
+    return Trainer(cfg)
+
+
+class TestRoundTrip:
+    def test_dense_params_roundtrip(self, tmp_path):
+        cfg = get_config("llama_test")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        d = save_checkpoint(str(tmp_path), 7, params)
+        assert latest_checkpoint(str(tmp_path)) == d
+        template = init_params(jax.random.PRNGKey(99), cfg)  # different values
+        restored, state = restore_params(template, d)
+        assert state["update_step"] == 7
+        for a, b in zip(jax.tree_util.tree_leaves(restored), jax.tree_util.tree_leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_latest_picks_max_step(self, tmp_path):
+        cfg = get_config("llama_test")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        save_checkpoint(str(tmp_path), 5, params)
+        d10 = save_checkpoint(str(tmp_path), 10, params)
+        assert latest_checkpoint(str(tmp_path)) == d10
+
+
+@pytest.mark.slow
+class TestSowResume:
+    def test_resume_after_accumulation_restores_shapes_and_logits(self, tmp_path):
+        # Train past an accumulation so acc buffers exist, save, then restore
+        # into a FRESH trainer whose template still has acc_down=None.
+        t1 = tiny_trainer()
+        data = affine_stream(8, 16, t1.model_cfg.vocab_size, seed=0)
+        for _ in range(7):  # crosses the step-5 accumulation event
+            t1.step(jnp.asarray(next(data)["input_ids"]))
+        d = save_checkpoint(
+            str(tmp_path), t1.update_step, t1.params, t1.opt_state,
+            tokens_seen=t1.tokens_seen,
+        )
+
+        t2 = tiny_trainer()
+        restored, state = restore_params(t2.params, d)
+        ids = jnp.asarray(next(data)["input_ids"])
+        ref_logits = np.asarray(forward(t1.params, ids, t1.model_cfg))
+        new_logits = np.asarray(forward(restored, ids, t2.model_cfg))
+        np.testing.assert_allclose(new_logits, ref_logits, rtol=1e-5, atol=1e-5)
+
+        # optimizer state restores structurally after rebuilding on new params
+        t2.params = restored
+        t2._build_optimizer()
+        fresh = t2.opt.init(t2.params)
+        opt_state = restore_opt_state(fresh, d)
+        np.testing.assert_array_equal(
+            np.asarray(opt_state.mu["embed"]["embedding"]),
+            np.asarray(t1.opt_state.mu["embed"]["embedding"]),
+        )
+        assert int(opt_state.step) == int(t1.opt_state.step)
+
+    def test_training_continues_identically(self, tmp_path):
+        t1 = tiny_trainer(sow_accumulation=100)
+        data = affine_stream(8, 16, t1.model_cfg.vocab_size, seed=1)
+        batches = [jnp.asarray(next(data)["input_ids"]) for _ in range(6)]
+        for b in batches[:3]:
+            t1.step(b)
+        d = save_checkpoint(str(tmp_path), t1.update_step, t1.params, t1.opt_state)
+
+        # continue original
+        loss_a = [float(t1.step(b)["loss"]) for b in batches[3:]]
+
+        # resume and continue
+        t2 = tiny_trainer(sow_accumulation=100)
+        t2.params, _ = restore_params(t2.params, d)
+        t2.params = t2._device_put_params(t2.params)
+        t2._build_optimizer()
+        t2.opt_state = restore_opt_state(t2.opt.init(t2.params), d)
+        t2.update_step = 3
+        loss_b = [float(t2.step(b)["loss"]) for b in batches[3:]]
+        np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5, atol=1e-6)
