@@ -188,7 +188,17 @@ class SoWLinear:
     def __call__(self, x: jax.Array) -> jax.Array:
         """``y = x @ W_eff + bias`` — a single MXU matmul on the token path
         (replaces the reference's n_iter+1 chained thin matmuls,
-        ``sow.py:107-126``)."""
+        ``sow.py:107-126``), with a reassociated custom backward that never
+        materializes the K x N weight gradient (see
+        ``sow_tpu.ops.sow_matmul``)."""
+        from sow_tpu.ops.sow_matmul import sow_linear
+
+        return sow_linear(
+            x, self.down, self.up, self.acc_down, self.acc_up, self.bias, self.scale
+        )
+
+    def call_folded(self, x: jax.Array) -> jax.Array:
+        """Plain-autodiff folded path (no custom vjp) — for cross-checks."""
         y = x @ self.effective_weight()
         if self.bias is not None:
             y = y + self.bias
