@@ -1,0 +1,273 @@
+"""GLUE + extended-task finetuning — the W2 workload (ref ``run_glue.py``).
+
+The reference file targets a pre-refactor library API and crashes at import
+(SURVEY §2 W2); this module implements the *intended* flow with the unified
+``SoWConfig``: frozen base RoBERTa (or LLaMA classifier), SoW surgery on the
+projection targets, 3 optimizer groups (decay / no-decay / sow,
+``run_glue.py:796-808``), in-loop accumulation every ``accumulation_steps``
+with ``scale -> 1/rank`` after the first accumulation
+(``run_glue.py:993-1002``), and task metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sow_tpu.models import roberta as roberta_lib
+from sow_tpu.nn import SoWConfig, param_labels, prepare_sow, set_sow_scale
+from sow_tpu.nn import accumulate as accumulate_tree
+from sow_tpu.nn.sow import SoWLinear
+from sow_tpu.optim.adamw import apply_updates, grouped_adamw
+from sow_tpu.optim.schedules import linear_schedule
+from sow_tpu.utils.metrics import glue_metrics
+
+# Task registries (run_glue.py:69-107).
+TASK_TO_KEYS = {
+    "cola": ("sentence",),
+    "mnli": ("premise", "hypothesis"),
+    "mrpc": ("sentence1", "sentence2"),
+    "qnli": ("question", "sentence"),
+    "qqp": ("question1", "question2"),
+    "rte": ("sentence1", "sentence2"),
+    "sst2": ("sentence",),
+    "stsb": ("sentence1", "sentence2"),
+    "wnli": ("sentence1", "sentence2"),
+}
+
+MORE_TASK_TO_KEYS = {
+    "google/boolq": ("question", "passage"),
+    "allenai/winogrande": ("sentence", "option1", "option2"),
+    "ybisk/piqa": ("goal", "sol1", "sol2"),
+    "allenai/social_i_qa": ("context", "question", "answerA", "answerB", "answerC"),
+    "allenai/openbookqa": ("question_stem", "choices"),
+    "Rowan/hellaswag": ("activity_label", "ctx", "endings"),
+    "allenai/ai2_arc": ("question", "choices"),
+}
+
+MORE_TASK_TO_LABELS = {
+    "google/boolq": ("answer", None),
+    "allenai/winogrande": ("answer", None),
+    "ybisk/piqa": ("label", None),
+    "allenai/social_i_qa": ("label", ["1", "2", "3"]),
+    "allenai/openbookqa": ("answerKey", None),
+    "Rowan/hellaswag": ("label", None),
+    "allenai/ai2_arc": ("answerKey", None),
+}
+
+# nested-field extractors (run_glue.py:104-107)
+MORE_TASK_TO_PROCESS = {
+    "allenai/openbookqa": {"choices": lambda x: " ".join(x["text"])},
+    "allenai/ai2_arc": {"choices": lambda x: " ".join(x["text"])},
+}
+
+
+def build_prompt(task: str, example: dict) -> str:
+    """``<s>key: value</s>`` concatenation with outer markers stripped
+    (the tokenizer re-adds them) — ref ``run_glue.py:692-701``."""
+    keys = TASK_TO_KEYS.get(task) or MORE_TASK_TO_KEYS[task]
+    parts = []
+    for k in keys:
+        v = example[k]
+        proc = MORE_TASK_TO_PROCESS.get(task, {}).get(k)
+        if proc is not None:
+            v = proc(v)
+        parts.append(f"<s>{k}: {v}</s>")
+    joined = "".join(parts)
+    return joined[3:-4]
+
+
+@dataclasses.dataclass
+class GlueConfig:
+    task: str = "cola"
+    max_length: int = 512
+    batch_size: int = 16
+    num_train_epochs: int = 30
+    learning_rate: float = 5e-5
+    sow_lr: float = 1.2e-4
+    weight_decay: float = 0.0
+    rank: int = 8
+    n_iter: int = 1
+    mode: str = "keep"  # decompose mode for surgery
+    accumulation_steps: int = 1000  # SoW accumulate cadence (update steps)
+    num_training_steps: int = 10_000  # for the linear schedule
+    warmup_ratio: float = 0.0
+    seed: int = 42
+    freeze_base: bool = True
+    dtype: str = "float32"
+    is_regression: bool = False
+
+
+def finetune_labels(params: Any, freeze_base: bool = True) -> Any:
+    """3-group labels: ``decay`` (head kernels), ``no_decay`` (biases/LN),
+    ``sow`` (factors), ``frozen`` (base). Ref ``run_glue.py:796-808``."""
+    base = param_labels(params)  # sow/frozen/regular
+
+    def relabel(path_entries, label, leaf):
+        if label != "regular":
+            return label
+        path = jax.tree_util.keystr(path_entries)
+        in_head = "classifier" in path
+        if freeze_base and not in_head:
+            return "frozen"
+        is_nd = leaf.ndim <= 1 or ".bias" in path or "'ln'" in path
+        return "no_decay" if is_nd else "decay"
+
+    flat_l, treedef = jax.tree_util.tree_flatten_with_path(base)
+    flat_p = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = [relabel(pl[0], pl[1], pp[1]) for pl, pp in zip(flat_l, flat_p)]
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+class GlueTrainer:
+    """Finetune loop core (model-agnostic over our roberta/llama trees)."""
+
+    def __init__(
+        self,
+        cfg: GlueConfig,
+        params: Any,
+        forward_fn,
+        loss_fn=None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.forward_fn = forward_fn
+        self.loss_fn = loss_fn or (
+            lambda logits, labels: roberta_lib.classification_loss(
+                logits, labels, cfg.is_regression
+            )
+        )
+        self.update_step = 0
+        self.n_accumulations = 0
+        self._build_optimizer()
+        self.opt_state = self.opt.init(self.params)
+        self._step_fn_cache: dict[Any, Any] = {}
+
+    def _build_optimizer(self):
+        labels = finetune_labels(self.params, self.cfg.freeze_base)
+        self.labels = labels
+        sched = linear_schedule(
+            self.cfg.num_training_steps,
+            int(self.cfg.warmup_ratio * self.cfg.num_training_steps),
+        )
+        self.opt = grouped_adamw(
+            labels,
+            lrs={
+                "decay": self.cfg.learning_rate,
+                "no_decay": self.cfg.learning_rate,
+                "sow": self.cfg.sow_lr,
+            },
+            schedules={"decay": sched, "no_decay": sched, "sow": sched},
+            weight_decay={"decay": self.cfg.weight_decay},
+        )
+
+    def _make_step(self):
+        opt = self.opt
+
+        def train_step(params, opt_state, input_ids, attention_mask, labels):
+            def loss_of(p):
+                logits = self.forward_fn(p, input_ids, attention_mask)
+                return self.loss_fn(logits, labels)
+
+            loss, grads = jax.value_and_grad(loss_of)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return apply_updates(params, updates), opt_state, loss
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    def step(self, input_ids, attention_mask, labels):
+        key = jax.tree_util.tree_structure(self.params)
+        if key not in self._step_fn_cache:
+            self._step_fn_cache[key] = self._make_step()
+        self.params, self.opt_state, loss = self._step_fn_cache[key](
+            self.params, self.opt_state, input_ids, attention_mask, labels
+        )
+        self.update_step += 1
+        if self.cfg.accumulation_steps and self.update_step % self.cfg.accumulation_steps == 0:
+            self.run_accumulation()
+        return float(loss)
+
+    def run_accumulation(self):
+        """Accumulate + ``scale -> 1/rank`` after the first accumulation +
+        SoW moment reset (ref ``run_glue.py:993-1002``)."""
+        key = jax.random.PRNGKey(self.cfg.seed + 2000 + self.update_step)
+        self.params = accumulate_tree(self.params, key)
+        self.n_accumulations += 1
+        if self.n_accumulations == 1:
+            self.params = set_sow_scale(self.params, 1.0 / self.cfg.rank)
+
+        old = self.opt_state
+        old_moments = {}
+        for name, tree in (("count", old.count), ("mu", old.mu), ("nu", old.nu)):
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+                old_moments[(name, jax.tree_util.keystr(path))] = leaf
+        self._build_optimizer()
+        fresh = self.opt.init(self.params)
+
+        def carry(name, tree):
+            flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+            lab = jax.tree_util.tree_leaves(self.labels)
+            out = []
+            for (path, leaf), l in zip(flat, lab):
+                k = (name, jax.tree_util.keystr(path))
+                if l != "sow" and k in old_moments and old_moments[k].shape == leaf.shape:
+                    out.append(old_moments[k])
+                else:
+                    out.append(leaf)
+            return jax.tree_util.tree_unflatten(treedef, out)
+
+        self.opt_state = type(old)(
+            step=old.step,
+            count=carry("count", fresh.count),
+            mu=carry("mu", fresh.mu),
+            nu=carry("nu", fresh.nu),
+        )
+
+    def evaluate(self, batches: Iterable[dict]) -> dict[str, float]:
+        fwd = jax.jit(self.forward_fn)
+        preds, refs = [], []
+        for b in batches:
+            logits = fwd(self.params, b["input_ids"], b["attention_mask"])
+            if self.cfg.is_regression:
+                preds.append(np.asarray(logits[:, 0]))
+            else:
+                preds.append(np.asarray(jnp.argmax(logits, axis=-1)))
+            refs.append(np.asarray(b["labels"]))
+        return glue_metrics(self.cfg.task, np.concatenate(preds), np.concatenate(refs))
+
+
+def build_roberta_glue_trainer(
+    cfg: GlueConfig,
+    model_cfg: Optional[roberta_lib.RobertaConfig] = None,
+    pretrained_state_dict: Optional[dict] = None,
+    key: Optional[jax.Array] = None,
+) -> GlueTrainer:
+    """Assemble the RoBERTa GLUE trainer: load/init params, surgery, freeze."""
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    model_cfg = model_cfg or roberta_lib.ROBERTA_CONFIGS["roberta-base"]
+    if pretrained_state_dict is not None:
+        params = roberta_lib.params_from_hf_state_dict(pretrained_state_dict, model_cfg)
+        if "classifier" not in params:
+            head_key, key = jax.random.split(key)
+            params["classifier"] = roberta_lib.init_params(head_key, model_cfg)["classifier"]
+    else:
+        params = roberta_lib.init_params(key, model_cfg)
+
+    sow_cfg = SoWConfig(
+        target_modules=roberta_lib.ROBERTA_TARGET_MODULES,
+        rank=cfg.rank,
+        n_iter=cfg.n_iter,
+        decompose=cfg.mode,
+        dtype=jnp.float32 if cfg.dtype == "float32" else jnp.bfloat16,
+    )
+    key, sub = jax.random.split(key)
+    params = prepare_sow(params, sow_cfg, sub)
+
+    def forward_fn(p, ids, mask):
+        return roberta_lib.forward(p, ids, model_cfg, mask)
+
+    return GlueTrainer(cfg, params, forward_fn)

@@ -1,0 +1,123 @@
+"""GLUE workload tests: prompt building, metrics, label partitioning, and an
+end-to-end finetune on synthetic separable data with an accumulation event."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sow_tpu.models import roberta as rl
+from sow_tpu.nn import iter_sow
+from sow_tpu.train.glue import (
+    GlueConfig,
+    build_prompt,
+    build_roberta_glue_trainer,
+    finetune_labels,
+)
+from sow_tpu.utils.metrics import (
+    accuracy,
+    f1,
+    glue_metrics,
+    matthews_corrcoef,
+    pearson,
+    spearman,
+)
+
+
+class TestPrompt:
+    def test_glue_pair(self):
+        ex = {"sentence1": "a b", "sentence2": "c d"}
+        # outer markers stripped; inner boundary markers kept (run_glue.py:692-701)
+        assert build_prompt("mrpc", ex) == "sentence1: a b</s><s>sentence2: c d"
+
+    def test_single_sentence(self):
+        assert build_prompt("cola", {"sentence": "x"}) == "sentence: x"
+
+    def test_nested_choices(self):
+        ex = {"question_stem": "q?", "choices": {"text": ["a", "b"], "label": ["A", "B"]}}
+        assert build_prompt("allenai/openbookqa", ex) == "question_stem: q?</s><s>choices: a b"
+
+
+class TestMetrics:
+    def test_accuracy_f1(self):
+        p = np.array([1, 0, 1, 1])
+        r = np.array([1, 0, 0, 1])
+        assert accuracy(p, r) == 0.75
+        assert f1(p, r) == pytest.approx(2 * 2 / (2 * 2 + 1 + 0))
+
+    def test_matthews_perfect_and_inverse(self):
+        r = np.array([0, 1, 0, 1])
+        assert matthews_corrcoef(r, r) == pytest.approx(1.0)
+        assert matthews_corrcoef(1 - r, r) == pytest.approx(-1.0)
+
+    def test_pearson_spearman(self):
+        x = np.array([1.0, 2.0, 3.0, 4.0])
+        assert pearson(2 * x + 1, x) == pytest.approx(1.0)
+        assert spearman(x**3, x) == pytest.approx(1.0)  # monotone, nonlinear
+
+    def test_task_dispatch(self):
+        p, r = np.array([1, 0]), np.array([1, 1])
+        assert "matthews_correlation" in glue_metrics("cola", p, r)
+        assert set(glue_metrics("mrpc", p, r)) == {"accuracy", "f1"}
+        assert "accuracy" in glue_metrics("sst2", p, r)
+
+
+class TestLabels:
+    def test_base_frozen_head_trains(self):
+        cfg = rl.ROBERTA_CONFIGS["roberta-test"]
+        trainer = build_roberta_glue_trainer(
+            GlueConfig(task="cola", rank=2, accumulation_steps=0),
+            model_cfg=cfg,
+        )
+        labels = finetune_labels(trainer.params)
+        flat = jax.tree_util.tree_leaves(labels)
+        assert "sow" in flat and "decay" in flat and "no_decay" in flat and "frozen" in flat
+        # classifier kernel trains with decay; embeddings frozen
+        assert labels["classifier"]["dense"]["kernel"] == "decay"
+        assert labels["classifier"]["dense"]["bias"] == "no_decay"
+        assert labels["embeddings"]["word"]["embedding"] == "frozen"
+        # SoW factors of a replaced layer train in the sow group
+        layer_label = labels["layers"]["0"]["attention"]["self"]["query"]
+        assert layer_label.down == "sow"
+
+
+def synthetic_cls_batches(n_batches, batch, seq, vocab, pad_id, n_labels=2, seed=0):
+    """Separable task: label = (first real token < vocab/2)."""
+    rng = np.random.default_rng(seed)
+    for _ in range(n_batches):
+        ids = rng.integers(2, vocab, (batch, seq))
+        labels = (ids[:, 0] < vocab // 2).astype(np.int64)
+        yield {
+            "input_ids": jnp.asarray(ids),
+            "attention_mask": jnp.asarray(np.ones_like(ids)),
+            "labels": jnp.asarray(labels),
+        }
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_finetune_improves_with_accumulation(self):
+        model_cfg = rl.ROBERTA_CONFIGS["roberta-test"]
+        cfg = GlueConfig(
+            task="sst2", rank=2, accumulation_steps=10, learning_rate=5e-3,
+            sow_lr=5e-3, num_training_steps=100, max_length=8, freeze_base=True,
+        )
+        trainer = build_roberta_glue_trainer(cfg, model_cfg=model_cfg)
+
+        before = trainer.evaluate(
+            synthetic_cls_batches(4, 16, 8, model_cfg.vocab_size, model_cfg.pad_token_id, seed=99)
+        )
+        losses = []
+        for batch in synthetic_cls_batches(40, 16, 8, model_cfg.vocab_size, model_cfg.pad_token_id):
+            losses.append(trainer.step(batch["input_ids"], batch["attention_mask"], batch["labels"]))
+        after = trainer.evaluate(
+            synthetic_cls_batches(4, 16, 8, model_cfg.vocab_size, model_cfg.pad_token_id, seed=99)
+        )
+        assert trainer.n_accumulations == 4  # events at steps 10, 20, 30, 40
+        # scale flipped to 1/rank after first accumulation
+        for _, layer in iter_sow(trainer.params):
+            assert float(layer.scale) == pytest.approx(1 / cfg.rank)
+            assert layer.acc_down is not None
+        assert after["accuracy"] >= before["accuracy"]
+        # windowed: accumulation events cause local loss jumps
+        assert np.mean(losses[-8:]) < np.mean(losses[:8])
