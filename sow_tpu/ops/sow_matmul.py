@@ -46,12 +46,12 @@ def sow_matmul(x, d2, u2, w_base, scale):
     x: (M, K); d2: (K, nr); u2: (nr, N); w_base: (K, N) frozen; scale: scalar.
     """
     w_eff = (w_base.astype(jnp.float32) + scale * _f32dot(d2, u2)).astype(x.dtype)
-    return _f32dot(x, w_eff).astype(x.dtype)
+    return jnp.dot(x, w_eff)
 
 
 def _sow_matmul_fwd(x, d2, u2, w_base, scale):
     w_eff = (w_base.astype(jnp.float32) + scale * _f32dot(d2, u2)).astype(x.dtype)
-    y = _f32dot(x, w_eff).astype(x.dtype)
+    y = jnp.dot(x, w_eff)
     # Residuals are all parameters/activations that already live in HBM —
     # no extra activation memory beyond dense.
     return y, (x, d2, u2, w_eff, scale)
@@ -59,13 +59,14 @@ def _sow_matmul_fwd(x, d2, u2, w_base, scale):
 
 def _sow_matmul_bwd(res, dy):
     x, d2, u2, w_eff, scale = res
-    dy32 = dy
-    dx = _f32dot(dy32, w_eff.T).astype(x.dtype)
+    # Token-space matmuls stay in the compute dtype (bf16 on the MXU, which
+    # accumulates fp32 internally); fp32 outputs would double HBM writes.
+    dx = jnp.dot(dy, w_eff.T)
     # reassociated factor gradients — dW is never formed
-    t1 = _f32dot(dy32, u2.T)  # (M, nr)
-    dd2 = (scale * _f32dot(x.T, t1.astype(x.dtype))).astype(d2.dtype)
-    t2 = _f32dot(x, d2)  # (M, nr)
-    du2 = (scale * _f32dot(t2.astype(x.dtype).T, dy32)).astype(u2.dtype)
+    t1 = jnp.dot(dy, u2.T)  # (M, nr)
+    dd2 = (scale * _f32dot(x.T, t1)).astype(d2.dtype)
+    t2 = jnp.dot(x, d2)  # (M, nr)
+    du2 = (scale * _f32dot(t2.T, dy)).astype(u2.dtype)
     dw_base = jnp.zeros_like(res[3])  # frozen; DCE'd by XLA
     dscale = jnp.zeros_like(jnp.asarray(scale))
     return dx, dd2, du2, dw_base, dscale
@@ -79,25 +80,34 @@ def sow_matmul_nobase(x, d2, u2, scale):
     """``x @ (scale * d2 @ u2)`` — blank-layer case (pretraining before the
     first accumulation, acc buffers empty; ref ``sow.py:69-70``)."""
     w_eff = (scale * _f32dot(d2, u2)).astype(x.dtype)
-    return _f32dot(x, w_eff).astype(x.dtype)
+    return jnp.dot(x, w_eff)
 
 
 def _nb_fwd(x, d2, u2, scale):
     w_eff = (scale * _f32dot(d2, u2)).astype(x.dtype)
-    return _f32dot(x, w_eff).astype(x.dtype), (x, d2, u2, w_eff, scale)
+    return jnp.dot(x, w_eff), (x, d2, u2, w_eff, scale)
 
 
 def _nb_bwd(res, dy):
     x, d2, u2, w_eff, scale = res
-    dx = _f32dot(dy, w_eff.T).astype(x.dtype)
-    t1 = _f32dot(dy, u2.T)
-    dd2 = (scale * _f32dot(x.T, t1.astype(x.dtype))).astype(d2.dtype)
-    t2 = _f32dot(x, d2)
-    du2 = (scale * _f32dot(t2.astype(x.dtype).T, dy)).astype(u2.dtype)
+    dx = jnp.dot(dy, w_eff.T)
+    t1 = jnp.dot(dy, u2.T)
+    dd2 = (scale * _f32dot(x.T, t1)).astype(d2.dtype)
+    t2 = jnp.dot(x, d2)
+    du2 = (scale * _f32dot(t2.T, dy)).astype(u2.dtype)
     return dx, dd2, du2, jnp.zeros_like(jnp.asarray(scale))
 
 
 sow_matmul_nobase.defvjp(_nb_fwd, _nb_bwd)
+
+
+def _reassoc_wins(k: int, n: int, nr: int) -> bool:
+    """Shape heuristic: reassociation replaces the M*K*N dW matmul with four
+    skinny token-space matmuls whose inner/minor dim pads to the 128-lane MXU
+    tile. Measured on v5e, the skinny path only wins when its padded FLOPs
+    are well under the dW FLOPs (fusion losses eat narrow margins)."""
+    nr_pad = -(-nr // 128) * 128
+    return 2 * nr_pad * (k + n) < 0.5 * k * n
 
 
 def sow_linear(
@@ -109,25 +119,38 @@ def sow_linear(
     bias: Optional[jax.Array],
     scale: jax.Array,
 ) -> jax.Array:
-    """Full SoW linear on arbitrary-rank ``x`` (..., K) with the
-    reassociated-backward op on the flattened token axis."""
+    """Full SoW linear on arbitrary-rank ``x`` (..., K).
+
+    Picks per shape between plain autodiff of the fold (best for small
+    layers / large ranks — XLA fuses fold+matmul and the dW path is cheap)
+    and the reassociated custom backward (wins decisively for big layers
+    with modest total rank, e.g. 7B finetuning at r=8)."""
     n, k, r = down.shape
     _, _, nf = up.shape
     d2 = jnp.transpose(down, (1, 0, 2)).reshape(k, n * r)
     u2 = up.reshape(n * r, nf)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k)
-    scale = jax.lax.stop_gradient(scale).astype(jnp.float32)
+    scale32 = jax.lax.stop_gradient(scale).astype(jnp.float32)
 
+    use_reassoc = _reassoc_wins(k, nf, n * r)
     if acc_down is None:
-        y = sow_matmul_nobase(x2, d2, u2, scale)
+        if use_reassoc:
+            y = sow_matmul_nobase(x2, d2, u2, scale32)
+        else:
+            w_eff = (scale32 * _f32dot(d2, u2)).astype(x.dtype)
+            y = x2 @ w_eff
     else:
         if acc_up is not None:
             w_base = _f32dot(acc_down, acc_up).astype(x.dtype)
         else:
             w_base = acc_down
         w_base = jax.lax.stop_gradient(w_base)
-        y = sow_matmul(x2, d2, u2, w_base, scale)
+        if use_reassoc:
+            y = sow_matmul(x2, d2, u2, w_base, scale32)
+        else:
+            w_eff = (w_base.astype(jnp.float32) + scale32 * _f32dot(d2, u2)).astype(x.dtype)
+            y = x2 @ w_eff
 
     y = y.reshape(*lead, nf)
     if bias is not None:

@@ -202,7 +202,7 @@ class GlueTrainer:
 
         old = self.opt_state
         old_moments = {}
-        for name, tree in (("count", old.count), ("mu", old.mu), ("nu", old.nu)):
+        for name, tree in (("mu", old.mu), ("nu", old.nu)):
             for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
                 old_moments[(name, jax.tree_util.keystr(path))] = leaf
         self._build_optimizer()
@@ -222,7 +222,10 @@ class GlueTrainer:
 
         self.opt_state = type(old)(
             step=old.step,
-            count=carry("count", fresh.count),
+            count={
+                l: (old.count[l] if l != "sow" and l in old.count else c)
+                for l, c in fresh.count.items()
+            },
             mu=carry("mu", fresh.mu),
             nu=carry("nu", fresh.nu),
         )

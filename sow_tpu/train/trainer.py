@@ -276,7 +276,7 @@ class Trainer:
         old_state = self.opt_state
 
         old_moments = {}
-        for name, tree in (("count", old_state.count), ("mu", old_state.mu), ("nu", old_state.nu)):
+        for name, tree in (("mu", old_state.mu), ("nu", old_state.nu)):
             for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
                 old_moments[(name, jax.tree_util.keystr(path))] = leaf
 
@@ -298,9 +298,14 @@ class Trainer:
                     out.append(leaf)  # sow group: fresh zeros == the reset
             return jax.tree_util.tree_unflatten(treedef, out)
 
+        # Per-group counts: keep non-sow groups' counts, sow restarts at 0.
+        new_count = {
+            l: (old_state.count[l] if l != "sow" and l in old_state.count else c)
+            for l, c in fresh.count.items()
+        }
         self.opt_state = type(old_state)(
             step=old_state.step,
-            count=carry_over("count", fresh.count, self.labels),
+            count=new_count,
             mu=carry_over("mu", fresh.mu, self.labels),
             nu=carry_over("nu", fresh.nu, self.labels),
         )

@@ -74,7 +74,7 @@ class TestGroupedAdamW:
         for _ in range(3):
             _, state = opt.update(g, state, params)
         state = opt.reset_group(state, "sow")
-        assert float(state.count["s"]) == 0 and float(state.count["w"]) == 3
+        assert float(state.count["sow"]) == 0 and float(state.count["regular"]) == 3
         assert float(jnp.abs(state.mu["s"]).max()) == 0.0
         assert float(jnp.abs(state.mu["w"]).max()) > 0.0
         # Post-reset first sow update equals a fresh optimizer's first step.
