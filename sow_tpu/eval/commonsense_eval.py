@@ -1,0 +1,109 @@
+"""Commonsense generation eval — the W4 harness
+(ref ``scripts/commonsense_evaluate.py``).
+
+Batched beam-4 generation over a dataset of ``{"instruction", "answer"}``
+records, response split on ``### Response:``, per-dataset regex answer
+extraction, running accuracy. Model-loading is the caller's job (build the
+SoW LLaMA tree, restore the checkpoint); the harness is model-agnostic over
+our param trees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from typing import Callable, Iterable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from sow_tpu.eval.generate import beam_generate, greedy_generate, left_pad
+from sow_tpu.train.commonsense import generate_prompt
+
+# Per-dataset answer regexes (ref commonsense_evaluate.py:338-369).
+ANSWER_PATTERNS = {
+    "boolq": r"true|false",
+    "piqa": r"solution1|solution2",
+    "social_i_qa": r"answer1|answer2|answer3|answer4|answer5",
+    "ARC-Challenge": r"answer1|answer2|answer3|answer4|answer5",
+    "ARC-Easy": r"answer1|answer2|answer3|answer4|answer5",
+    "openbookqa": r"answer1|answer2|answer3|answer4|answer5",
+    "hellaswag": r"ending1|ending2|ending3|ending4",
+    "winogrande": r"option1|option2",
+}
+
+
+def extract_answer(dataset: str, sentence: str) -> str:
+    """First regex match in the generated text, '' if none
+    (ref ``commonsense_evaluate.py:338-369``)."""
+    pattern = ANSWER_PATTERNS.get(dataset.split("/")[-1])
+    if pattern is None:
+        raise KeyError(f"unknown dataset {dataset!r}")
+    found = re.findall(pattern, sentence.strip())
+    return found[0] if found else ""
+
+
+def extract_response(text: str) -> str:
+    """Text after the last '### Response:' marker
+    (ref ``commonsense_evaluate.py:88``)."""
+    parts = text.split("### Response:")
+    return parts[-1].strip() if len(parts) > 1 else text.strip()
+
+
+def load_test_records(path: str) -> list[dict]:
+    """LLM-Adapters ``test.json`` format: list of {instruction, answer, ...}."""
+    with open(path) as f:
+        return json.load(f)
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    dataset: str = "ARC-Easy"
+    batch_size: int = 16
+    max_new_tokens: int = 32
+    num_beams: int = 4
+
+
+def evaluate_commonsense(
+    params,
+    model_cfg,
+    tokenizer,
+    records: Iterable[dict],
+    cfg: EvalConfig,
+    decode_fn: Optional[Callable] = None,
+) -> dict:
+    """Run batched generation over records; returns accuracy + per-example
+    outcomes (ref running-accuracy loop, ``commonsense_evaluate.py:108-140``)."""
+    records = list(records)
+    correct, outputs = 0, []
+    pad_id = tokenizer.pad_token_id or 0
+    eos_id = tokenizer.eos_token_id
+
+    for i in range(0, len(records), cfg.batch_size):
+        batch = records[i : i + cfg.batch_size]
+        prompts = [generate_prompt(r, include_output=False) for r in batch]
+        tokenized = [tokenizer(p)["input_ids"] for p in prompts]
+        ids, mask = left_pad(tokenized, pad_id)
+        if decode_fn is not None:
+            gen = decode_fn(jnp.asarray(ids), jnp.asarray(mask))
+        elif cfg.num_beams > 1:
+            gen = beam_generate(
+                params, jnp.asarray(ids), jnp.asarray(mask), model_cfg,
+                max_new_tokens=cfg.max_new_tokens, num_beams=cfg.num_beams,
+                eos_token_id=eos_id,
+            )
+        else:
+            gen = greedy_generate(
+                params, jnp.asarray(ids), jnp.asarray(mask), model_cfg,
+                max_new_tokens=cfg.max_new_tokens, eos_token_id=eos_id,
+            )
+        texts = tokenizer.batch_decode(np.asarray(gen), skip_special_tokens=True)
+        for rec, text in zip(batch, texts):
+            pred = extract_answer(cfg.dataset, extract_response("### Response:" + text))
+            label = str(rec["answer"]).strip()
+            ok = pred == label
+            correct += int(ok)
+            outputs.append({"prediction": pred, "answer": label, "correct": ok, "raw": text})
+    n = len(records)
+    return {"accuracy": correct / n if n else 0.0, "n": n, "outputs": outputs}

@@ -226,6 +226,92 @@ def causal_lm_loss(
     return nll.sum() / jnp.maximum(valid.sum(), 1)
 
 
+# -- KV-cache decoding -------------------------------------------------------
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> list[dict]:
+    """Per-layer KV cache buffers ``(batch, kv_heads, max_len, head_dim)``.
+
+    Static shapes: the cache is allocated once for prompt+generation length
+    (XLA-friendly; replaces HF's dynamically-growing past_key_values)."""
+    hd, kvh = cfg.head_dim, cfg.kv_heads
+    return [
+        {
+            "k": jnp.zeros((batch, kvh, max_len, hd), dtype),
+            "v": jnp.zeros((batch, kvh, max_len, hd), dtype),
+        }
+        for _ in range(cfg.num_hidden_layers)
+    ]
+
+
+def forward_with_cache(
+    params: dict,
+    input_ids: jax.Array,  # (B, T) — prompt block (prefill) or 1 token (decode)
+    cfg: LlamaConfig,
+    cache: list[dict],
+    start,  # int or traced scalar: global index of input_ids[:, 0] in the cache
+    positions: jax.Array,  # (B, T) RoPE positions (true token index, pads excluded)
+    key_mask: jax.Array,  # (B, max_len) — 1 for attendable cache slots
+) -> tuple[jax.Array, list[dict]]:
+    """Unified prefill/decode forward: writes this block's K/V into the cache
+    at ``start`` and attends over ``cache[:, :, :start+T]`` under
+    ``key_mask`` + causality. Returns (logits, updated cache)."""
+    b, t = input_ids.shape
+    max_len = cache[0]["k"].shape[2]
+    nh, kvh, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
+
+    x = params["embed"]["embedding"][input_ids]
+    cos, sin = rope_tables(positions, hd, cfg.rope_theta)
+
+    # query i (global start+i) attends cache slot j iff j <= start+i and
+    # key_mask[b, j]
+    q_pos = start + jax.lax.broadcasted_iota(jnp.int32, (t, max_len), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, max_len), 1)
+    causal = (k_pos <= q_pos)[None, None]  # (1, 1, t, max_len)
+    mask = causal & key_mask[:, None, None, :].astype(bool)
+
+    new_cache = []
+    for i in range(cfg.num_hidden_layers):
+        lp = params["layers"][str(i)]
+        h = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
+        ap = lp["attn"]
+
+        q = linear_apply(ap["q_proj"], h).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        k = linear_apply(ap["k_proj"], h).reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
+        v = linear_apply(ap["v_proj"], h).reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        ck = jax.lax.dynamic_update_slice(
+            cache[i]["k"], k.astype(cache[i]["k"].dtype), (0, 0, start, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cache[i]["v"], v.astype(cache[i]["v"].dtype), (0, 0, start, 0)
+        )
+        new_cache.append({"k": ck, "v": cv})
+
+        kk, vv = ck.astype(q.dtype), cv.astype(q.dtype)
+        if kvh != nh:
+            rep = nh // kvh
+            kk = jnp.repeat(kk, rep, axis=1)
+            vv = jnp.repeat(vv, rep, axis=1)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, kk).astype(jnp.float32) / math.sqrt(hd)
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1).astype(vv.dtype)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, vv)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
+        x = x + linear_apply(ap["o_proj"], attn)
+
+        h2 = rms_norm(x, lp["post_norm"]["scale"], cfg.rms_norm_eps)
+        x = x + _mlp(lp["mlp"], h2)
+
+    x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings:
+        logits = x @ params["embed"]["embedding"].T
+    else:
+        logits = linear_apply(params["lm_head"], x)
+    return logits, new_cache
+
+
 # -- HF interop --------------------------------------------------------------
 
 def params_from_hf_state_dict(state_dict: dict, cfg: LlamaConfig, dtype=jnp.float32) -> dict:

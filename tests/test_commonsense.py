@@ -1,0 +1,142 @@
+"""Commonsense workload tests: alpaca prompts, tokenization masking,
+answer extraction, finetune loop, and the generation-eval harness wired to a
+stub tokenizer (no downloads)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sow_tpu.eval.commonsense_eval import (
+    EvalConfig,
+    evaluate_commonsense,
+    extract_answer,
+    extract_response,
+)
+from sow_tpu.models import get_config
+from sow_tpu.nn import iter_sow
+from sow_tpu.train.commonsense import (
+    CommonsenseConfig,
+    build_commonsense_trainer,
+    collate,
+    generate_prompt,
+    tokenize_example,
+)
+
+
+class StubTokenizer:
+    """Whitespace tokenizer with a tiny fixed vocab (for offline tests)."""
+
+    pad_token_id = 0
+    eos_token_id = 1
+
+    def __init__(self, vocab_size=256):
+        self.vocab_size = vocab_size
+
+    def _tok(self, text):
+        return [2 + (hash(w) % (self.vocab_size - 2)) for w in text.split()]
+
+    def __call__(self, text, truncation=False, max_length=None):
+        ids = self._tok(text)
+        if truncation and max_length:
+            ids = ids[:max_length]
+        return {"input_ids": ids}
+
+    def batch_decode(self, arr, skip_special_tokens=True):
+        return [" ".join(f"tok{t}" for t in row if t > 1) for row in np.asarray(arr)]
+
+
+class TestPrompts:
+    def test_with_input(self):
+        p = generate_prompt({"instruction": "Do X", "input": "ctx", "output": "ans"})
+        assert "### Instruction:\nDo X" in p
+        assert "### Input:\nctx" in p
+        assert p.endswith("### Response:\nans")
+
+    def test_without_input(self):
+        p = generate_prompt({"instruction": "Do X", "output": "y"})
+        assert "### Input" not in p and p.endswith("y")
+
+    def test_tokenize_masks_prompt(self):
+        tok = StubTokenizer()
+        ex = tokenize_example(tok, {"instruction": "a b", "input": "", "output": "c d e"})
+        n_prompt = len(tok(generate_prompt({"instruction": "a b"}, include_output=False))["input_ids"])
+        assert all(l == -100 for l in ex["labels"][:n_prompt])
+        assert any(l != -100 for l in ex["labels"][n_prompt:])
+        assert ex["input_ids"][-1] == tok.eos_token_id
+
+    def test_collate_shapes(self):
+        tok = StubTokenizer()
+        exs = [tokenize_example(tok, {"instruction": f"i{i}", "input": "", "output": "o"}) for i in range(3)]
+        b = collate(exs, tok.pad_token_id, 32)
+        assert b["input_ids"].shape == (3, 32)
+        assert (b["labels"][b["attention_mask"] == 0] == -100).all()
+
+
+class TestExtraction:
+    @pytest.mark.parametrize(
+        "ds,text,want",
+        [
+            ("boolq", "the answer is true I think", "true"),
+            ("piqa", "solution2 looks right", "solution2"),
+            ("ARC-Easy", "it must be answer3", "answer3"),
+            ("dataset/ARC-Challenge", "answer1", "answer1"),
+            ("hellaswag", "ending4.", "ending4"),
+            ("winogrande", "I pick option1", "option1"),
+            ("boolq", "no idea", ""),
+        ],
+    )
+    def test_patterns(self, ds, text, want):
+        assert extract_answer(ds, text) == want
+
+    def test_response_split(self):
+        assert extract_response("prompt ### Response: hello world") == "hello world"
+        assert extract_response("no marker") == "no marker"
+
+
+@pytest.mark.slow
+class TestFinetune:
+    def test_instruction_finetune_runs_with_accumulation(self):
+        model_cfg = get_config("llama_test")
+        cfg = CommonsenseConfig(rank=2, accumulation_steps=5, batch_size=4, cutoff_len=64, num_training_steps=50)
+        trainer = build_commonsense_trainer(cfg, model_cfg)
+        # q/k/v/up/down targeted; o_proj and gate_proj NOT (finetune.py:292-298)
+        paths = [p for p, _ in iter_sow(trainer.params)]
+        assert len(paths) == 5 * model_cfg.num_hidden_layers
+        assert not any("o_proj" in p or "gate_proj" in p for p in paths)
+
+        tok = StubTokenizer(vocab_size=model_cfg.vocab_size)
+        rng = np.random.default_rng(0)
+        losses = []
+        for step in range(12):
+            exs = [
+                tokenize_example(tok, {"instruction": f"q {rng.integers(5)}", "input": "", "output": "answer1"})
+                for _ in range(4)
+            ]
+            b = collate(exs, tok.pad_token_id, 64)
+            losses.append(
+                trainer.step(
+                    jnp.asarray(b["input_ids"]), jnp.asarray(b["attention_mask"]),
+                    jnp.asarray(b["labels"]),
+                )
+            )
+        assert trainer.n_accumulations == 2
+        assert losses[-1] < losses[0]
+
+
+@pytest.mark.slow
+class TestEvalHarness:
+    def test_harness_end_to_end(self):
+        from sow_tpu.models import init_params
+
+        model_cfg = get_config("llama_test")
+        params = init_params(jax.random.PRNGKey(0), model_cfg)
+        tok = StubTokenizer(vocab_size=model_cfg.vocab_size)
+        records = [{"instruction": f"question {i}", "answer": "true"} for i in range(5)]
+        out = evaluate_commonsense(
+            params, model_cfg, tok, records,
+            EvalConfig(dataset="boolq", batch_size=2, max_new_tokens=4, num_beams=2),
+        )
+        assert out["n"] == 5
+        assert 0.0 <= out["accuracy"] <= 1.0
+        assert len(out["outputs"]) == 5
