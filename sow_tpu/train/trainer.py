@@ -60,6 +60,10 @@ class TrainConfig:
     sow_accumulation: int = 5_000  # update steps between accumulations
     init_method: str = "normal_QR"
     grow_rank: bool = False
+    # galore (ref simple_train.py:96-102)
+    galore_rank: int = 128
+    update_proj_gap: int = 200
+    galore_scale: float = 0.25
     # data/model
     batch_size: int = 128  # per-step global batch (sequences)
     max_length: int = 256
@@ -121,8 +125,30 @@ class Trainer:
             self.opt.init, out_shardings=self._opt_shardings(self.params)
         )(self.params)
         self.update_step = 0
-        self.tokens_seen = 0
+        self._tokens_dev = None  # device-side token counter (lazy)
+        self._tokens_base = 0  # host-side offset (restored checkpoints)
+        self._mask_cache: dict[tuple, jax.Array] = {}
         self._jit_cache: dict[Any, Any] = {}
+
+    @property
+    def tokens_seen(self) -> int:
+        """Total tokens trained on (syncs the device counter — call at
+        logging cadence, not per step)."""
+        dev = 0 if self._tokens_dev is None else int(self._tokens_dev)
+        return self._tokens_base + dev
+
+    @tokens_seen.setter
+    def tokens_seen(self, value: int):
+        self._tokens_base = int(value)
+        self._tokens_dev = None
+
+    def _ones_mask(self, shape) -> jax.Array:
+        key = tuple(shape)
+        if key not in self._mask_cache:
+            self._mask_cache[key] = jax.device_put(
+                jnp.ones(shape, jnp.int32), batch_sharding(self.mesh)
+            )
+        return self._mask_cache[key]
 
     # -- sharding helpers --------------------------------------------------
     def _device_put_params(self, params):
@@ -165,6 +191,20 @@ class Trainer:
         return scheds
 
     def _build_optimizer(self):
+        if self.cfg.architecture == "galore":
+            # ref simple_train.py:471-479 (GaLoreAdamW over 2D params)
+            from sow_tpu.optim.galore import galore_adamw
+
+            sched = self._schedules()["regular"]
+            self.labels = jax.tree_util.tree_map(lambda _: "regular", self.params)
+            self.opt = galore_adamw(
+                lr=lambda step: self.cfg.lr * sched(step),
+                rank=self.cfg.galore_rank,
+                update_proj_gap=self.cfg.update_proj_gap,
+                scale=self.cfg.galore_scale,
+                weight_decay=self.cfg.weight_decay,
+            )
+            return
         labels = param_labels(self.params) if self._has_sow() else jax.tree_util.tree_map(
             lambda _: "regular", self.params
         )
@@ -222,7 +262,8 @@ class Trainer:
                 )
             updates, opt_state = opt.update(grads, opt_state, params)
             params = apply_updates(params, updates)
-            return params, opt_state, {"loss": loss, "grad_norm": gnorm}
+            ntok = attention_mask.sum()
+            return params, opt_state, {"loss": loss, "grad_norm": gnorm, "ntok": ntok}
 
         p_sh = params_shardings(self.mesh, self.params)
         o_sh = self._opt_shardings(self.params)
@@ -231,7 +272,7 @@ class Trainer:
         return jax.jit(
             train_step,
             in_shardings=(p_sh, o_sh, b_sh, b_sh),
-            out_shardings=(p_sh, o_sh, {"loss": rep, "grad_norm": rep}),
+            out_shardings=(p_sh, o_sh, {"loss": rep, "grad_norm": rep, "ntok": rep}),
             donate_argnums=(0, 1),
         )
 
@@ -242,15 +283,22 @@ class Trainer:
         return self._jit_cache[key]
 
     def step(self, input_ids: jax.Array, attention_mask: Optional[jax.Array] = None):
-        """One update step (the batch already spans gradient accumulation)."""
+        """One update step (the batch already spans gradient accumulation).
+
+        No host<->device syncs on the hot path: token counting happens
+        inside the jitted step and accumulates lazily on device; read
+        ``tokens_seen`` (a sync) only at logging cadence.
+        """
         if attention_mask is None:
-            attention_mask = jnp.ones_like(input_ids)
+            attention_mask = self._ones_mask(input_ids.shape)
         fn = self._train_step_fn()
         self.params, self.opt_state, metrics = fn(
             self.params, self.opt_state, input_ids, attention_mask
         )
         self.update_step += 1
-        self.tokens_seen += int(attention_mask.sum())
+        self._tokens_dev = (
+            metrics["ntok"] if self._tokens_dev is None else self._tokens_dev + metrics["ntok"]
+        )
         if (
             self._has_sow()
             and self.cfg.architecture == "sow"
