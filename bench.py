@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 def bench_arch(architecture: str, steps: int = 20, warmup: int = 3) -> dict:
     from sow_tpu.data.synthetic import random_stream
+    from sow_tpu.optim.adamw import apply_updates
     from sow_tpu.train.trainer import TrainConfig, Trainer
 
     cfg = TrainConfig(
@@ -39,16 +40,37 @@ def bench_arch(architecture: str, steps: int = 20, warmup: int = 3) -> dict:
     )
     trainer = Trainer(cfg)
     data = random_stream(cfg.batch_size, cfg.max_length, trainer.model_cfg.vocab_size)
-    batches = [jnp.asarray(next(data)["input_ids"]) for _ in range(4)]
+    ids = jnp.asarray(next(data)["input_ids"])
+    mask = jnp.ones_like(ids)
 
-    for i in range(warmup):
-        trainer.step(batches[i % len(batches)])
-    jax.block_until_ready(trainer.params)
+    # K serial update steps inside ONE jitted fori_loop: timing is then pure
+    # device compute — immune to async-dispatch quirks of the remote runtime
+    # (block_until_ready alone was observed not to synchronize it).
+    opt = trainer.opt
 
+    def one_step(carry):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(lambda p: trainer._loss_fn(p, ids, mask))(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def run_k(params, opt_state, k):
+        def body(_, carry):
+            params, opt_state, _ = carry
+            return one_step((params, opt_state))
+
+        zero = jnp.float32(0)
+        params, opt_state, loss = jax.lax.fori_loop(
+            0, k, body, (params, opt_state, zero)
+        )
+        return params, opt_state, loss
+
+    p, s, loss = run_k(trainer.params, trainer.opt_state, warmup)
+    float(loss)  # hard sync via host transfer
     t0 = time.perf_counter()
-    for i in range(steps):
-        m = trainer.step(batches[i % len(batches)])
-    jax.block_until_ready((trainer.params, m["loss"]))
+    p, s, loss = run_k(p, s, steps)
+    float(loss)
     dt = time.perf_counter() - t0
 
     tokens = steps * cfg.batch_size * cfg.max_length

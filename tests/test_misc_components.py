@@ -1,0 +1,129 @@
+"""Tests: TT linear layer, sweep runner, display/alignment utilities,
+memory accounting."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sow_tpu.nn.sow import SoWLinear
+from sow_tpu.nn.tt_linear import TTLinear
+from sow_tpu.utils.display import alignment_matrix, export_alignment, format_tree
+from sow_tpu.utils.memory import optimizer_memory_usage, weight_usage
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestTTLinear:
+    def test_forward_matches_dense_weight(self):
+        layer = TTLinear.create(KEY, 81, 81, ranks=[1, 6, 6, 6, 1], bias=True)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 81))
+        y = layer(x)
+        w = layer.dense_weight()
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x @ w + layer.bias), rtol=1e-3, atol=1e-4
+        )
+
+    def test_non_power_dims_pad(self):
+        layer = TTLinear.create(KEY, 100, 70, ranks=[1, 4, 1], bias=False)
+        x = jax.random.normal(jax.random.PRNGKey(2), (3, 100))
+        y = layer(x)
+        assert y.shape == (3, 70)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x @ layer.dense_weight()), rtol=1e-3, atol=1e-4
+        )
+
+    def test_param_compression(self):
+        layer = TTLinear.create(KEY, 1024, 1024, ranks=[1, 8, 8, 8, 1], bias=False)
+        assert layer.numel() < 0.05 * 1024 * 1024
+
+    def test_grad_flows(self):
+        layer = TTLinear.create(KEY, 64, 64, ranks=[1, 4, 1])
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 64))
+        g = jax.grad(lambda l: jnp.sum(l(x) ** 2))(layer)
+        assert all(float(jnp.abs(c).max()) > 0 for c in g.cores)
+
+
+class TestSweep:
+    def test_grid(self):
+        from sow_tpu.train.sweep import grid
+
+        combos = grid(rank=[2, 4], lr=[0.1, 0.2, 0.3])
+        assert len(combos) == 6
+        assert {"rank": 2, "lr": 0.3} in combos
+
+    @pytest.mark.slow
+    def test_run_sweep(self, tmp_path):
+        from sow_tpu.data.synthetic import affine_stream
+        from sow_tpu.train.sweep import grid, run_sweep
+        from sow_tpu.train.trainer import TrainConfig
+
+        base = TrainConfig(
+            model="llama_test", architecture="sow", num_training_steps=10,
+            sow_accumulation=0, batch_size=8, max_length=16, dtype="float32",
+            mesh_data=-1, mesh_fsdp=1, mesh_model=1,
+        )
+        out = str(tmp_path / "sweep.jsonl")
+        results = run_sweep(
+            base,
+            grid(rank=[2, 4]),
+            steps_per_run=3,
+            data_factory=lambda cfg: affine_stream(8, 16, 256, seed=0),
+            out_path=out,
+        )
+        assert len(results) == 2
+        lines = [json.loads(l) for l in open(out)]
+        assert lines[0]["combo"] == {"rank": 2}
+        assert lines[1]["final_loss"] > 0
+
+
+class TestDisplay:
+    def test_format_tree_groups_and_colors(self):
+        from sow_tpu.models import get_config, init_params
+        from sow_tpu.nn import SoWConfig, prepare_sow
+        from sow_tpu.models.llama import LLAMA_TARGET_MODULES
+
+        params = init_params(KEY, get_config("llama_test"))
+        params = prepare_sow(
+            params, SoWConfig(target_modules=("q_proj",), rank=2, decompose="keep"), KEY
+        )
+        txt = format_tree(params, use_color=False)
+        assert "(0-1): 2 x" in txt  # identical layers grouped
+        assert "SoWLinear" in txt
+        txt_color = format_tree(params, use_color=True)
+        assert "\033[" in txt_color
+
+    def test_alignment(self, tmp_path):
+        layer = SoWLinear.create(KEY, 32, 24, rank=4, n_iter=2)
+        layer = layer.accumulate(jax.random.PRNGKey(5))
+        # give factors some mass so the SVD is well-defined
+        import dataclasses
+
+        layer = dataclasses.replace(
+            layer, up=jax.random.normal(jax.random.PRNGKey(6), layer.up.shape) * 0.1
+        )
+        m = alignment_matrix(layer)
+        assert m.shape[1] == layer.rank
+        np.testing.assert_allclose(m.sum(axis=0), 100.0, rtol=1e-3)
+        path = export_alignment(layer, str(tmp_path / "align"))
+        assert np.load(path).shape == m.shape
+
+
+class TestMemoryAccounting:
+    def test_weight_usage_split(self):
+        from sow_tpu.models import get_config, init_params
+        from sow_tpu.nn import SoWConfig, prepare_sow
+        from sow_tpu.models.llama import LLAMA_TARGET_MODULES
+
+        params = init_params(KEY, get_config("llama_test"))
+        params = prepare_sow(
+            params,
+            SoWConfig(target_modules=LLAMA_TARGET_MODULES, rank=2, decompose="keep"),
+            KEY,
+        )
+        u = weight_usage(params)
+        assert u["accumulated_mib"] > 0  # keep mode freezes bases
+        assert u["sow_factors_mib"] > 0
+        assert u["trainable_mib"] < u["total_mib"]
