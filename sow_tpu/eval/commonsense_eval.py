@@ -107,3 +107,59 @@ def evaluate_commonsense(
             outputs.append({"prediction": pred, "answer": label, "correct": ok, "raw": text})
     n = len(records)
     return {"accuracy": correct / n if n else 0.0, "n": n, "outputs": outputs}
+
+
+def main(argv=None):
+    """Generation-eval CLI (ref readme.md:86-96):
+    ``python -m sow_tpu.eval.commonsense_eval --dataset dataset/ARC-Easy \
+        --checkpoint ./trained --base-model llama_7b``"""
+    import argparse
+    import os
+
+    import jax
+
+    from sow_tpu.checkpoint import latest_checkpoint, restore_params
+    from sow_tpu.models.configs import get_config
+    from sow_tpu.models import llama as llama_lib
+    from sow_tpu.nn import SoWConfig, prepare_sow
+    from sow_tpu.train.commonsense import CommonsenseConfig
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", type=str, required=True, help="dir with test.json, or a test.json path")
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--base-model", type=str, default="llama_7b")
+    p.add_argument("--tokenizer", type=str, default="t5-base")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--num-beams", type=int, default=4)
+    p.add_argument("--max-new-tokens", type=int, default=32)
+    p.add_argument("--rank", type=int, default=10)
+    args = p.parse_args(argv)
+
+    model_cfg = get_config(args.base_model)
+    params = llama_lib.init_params(jax.random.PRNGKey(0), model_cfg)
+    params = prepare_sow(
+        params,
+        SoWConfig(target_modules=llama_lib.LLAMA_FINETUNE_TARGET_MODULES, rank=args.rank, decompose="keep"),
+        jax.random.PRNGKey(1),
+    )
+    ckpt = latest_checkpoint(args.checkpoint) or args.checkpoint
+    params, _ = restore_params(params, ckpt)
+
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(args.tokenizer)
+    if tok.pad_token_id is None:
+        tok.pad_token = tok.eos_token
+
+    path = args.dataset if args.dataset.endswith(".json") else os.path.join(args.dataset, "test.json")
+    records = load_test_records(path)
+    cfg = EvalConfig(
+        dataset=args.dataset, batch_size=args.batch_size,
+        max_new_tokens=args.max_new_tokens, num_beams=args.num_beams,
+    )
+    out = evaluate_commonsense(params, model_cfg, tok, records, cfg)
+    print(json.dumps({"accuracy": out["accuracy"], "n": out["n"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -138,3 +138,64 @@ def build_commonsense_trainer(
         dtype=cfg.dtype,
     )
     return GlueTrainer(gcfg, params, forward_fn, loss_fn=loss_fn)
+
+
+def main(argv=None):
+    """Commonsense instruction-finetune CLI (ref readme.md:68-84):
+    ``python -m sow_tpu.train.commonsense --base-model llama_7b \
+        --data-path dataset/ARC-Easy/train.json --output-dir out ...``"""
+    import argparse
+    import dataclasses as dc
+    import json
+
+    from sow_tpu.checkpoint import save_checkpoint
+    from sow_tpu.models.configs import get_config
+
+    p = argparse.ArgumentParser()
+    for f in dc.fields(CommonsenseConfig):
+        p.add_argument(f"--{f.name.replace('_', '-')}", type=type(f.default), default=f.default)
+    p.add_argument("--base-model", type=str, default="llama_7b")
+    p.add_argument("--hf-checkpoint", type=str, default=None,
+                   help="HF llama dir/name to load pretrained weights from")
+    p.add_argument("--data-path", type=str, required=True)
+    p.add_argument("--output-dir", type=str, default="./trained")
+    p.add_argument("--num-epochs", type=int, default=3)
+    p.add_argument("--tokenizer", type=str, default=None)
+    args = p.parse_args(argv)
+    cfg = CommonsenseConfig(**{f.name: getattr(args, f.name) for f in dc.fields(CommonsenseConfig)})
+
+    model_cfg = get_config(args.base_model)
+    params = None
+    if args.hf_checkpoint:
+        from transformers import AutoModelForCausalLM
+
+        hf = AutoModelForCausalLM.from_pretrained(args.hf_checkpoint)
+        params = llama_lib.params_from_hf_state_dict(hf.state_dict(), model_cfg)
+    trainer = build_commonsense_trainer(cfg, model_cfg, params=params)
+
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(args.tokenizer or args.hf_checkpoint or "t5-base")
+    if tok.pad_token_id is None:
+        tok.pad_token = tok.eos_token
+
+    with open(args.data_path) as f:
+        records = json.load(f)
+    tokenized = [tokenize_example(tok, r, cfg.cutoff_len) for r in records]
+
+    step = 0
+    for epoch in range(args.num_epochs):
+        for i in range(0, len(tokenized) - cfg.batch_size + 1, cfg.batch_size):
+            b = collate(tokenized[i : i + cfg.batch_size], tok.pad_token_id or 0, cfg.cutoff_len)
+            loss = trainer.step(
+                jnp.asarray(b["input_ids"]), jnp.asarray(b["attention_mask"]), jnp.asarray(b["labels"])
+            )
+            step += 1
+            if step % 50 == 0:
+                print(f"epoch {epoch} step {step} loss {loss:.4f}")
+    save_checkpoint(args.output_dir, step, trainer.params, config=dc.asdict(cfg))
+    print(f"saved to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

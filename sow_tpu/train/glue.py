@@ -243,6 +243,101 @@ class GlueTrainer:
         return glue_metrics(self.cfg.task, np.concatenate(preds), np.concatenate(refs))
 
 
+def load_glue_batches(
+    task: str,
+    tokenizer,
+    split: str,
+    batch_size: int,
+    max_length: int,
+    label_list: Optional[list] = None,
+):
+    """HF-datasets loader for GLUE/extended tasks with the reference's prompt
+    preprocessing (network-gated; tests use synthetic batches)."""
+    import datasets as hfd
+
+    if task in TASK_TO_KEYS:
+        raw = hfd.load_dataset("glue", task, split=split)
+    else:
+        raw = hfd.load_dataset(task, split=split)
+
+    label_key = "label" if task in TASK_TO_KEYS else MORE_TASK_TO_LABELS[task][0]
+    forced = None if task in TASK_TO_KEYS else MORE_TASK_TO_LABELS[task][1]
+    if forced is not None:
+        label_to_id = {str(v): i for i, v in enumerate(forced)}
+    elif label_list is not None:
+        label_to_id = {str(v): i for i, v in enumerate(label_list)}
+    else:
+        label_to_id = None
+
+    ids_buf, mask_buf, lab_buf = [], [], []
+    for ex in raw:
+        text = build_prompt(task, ex)
+        tok = tokenizer(
+            text, max_length=max_length, truncation=True, padding="max_length",
+            return_tensors="np",
+        )
+        label = ex[label_key]
+        if label_to_id is not None:
+            label = label_to_id.get(str(label), label_to_id.get(str(label).lower(), 0))
+        elif isinstance(label, bool):
+            label = int(label)
+        ids_buf.append(tok["input_ids"][0])
+        mask_buf.append(tok["attention_mask"][0])
+        lab_buf.append(label)
+        if len(ids_buf) == batch_size:
+            yield {
+                "input_ids": jnp.asarray(np.stack(ids_buf).astype(np.int32)),
+                "attention_mask": jnp.asarray(np.stack(mask_buf).astype(np.int32)),
+                "labels": jnp.asarray(np.asarray(lab_buf)),
+            }
+            ids_buf, mask_buf, lab_buf = [], [], []
+
+
+def main(argv=None):
+    """GLUE finetune CLI (ref readme.md:27-45):
+    ``python -m sow_tpu.train.glue --task cola --rank 8 --mode keep ...``"""
+    import argparse
+    import dataclasses as dc
+
+    p = argparse.ArgumentParser()
+    for f in dc.fields(GlueConfig):
+        if isinstance(f.default, bool):
+            p.add_argument(f"--{f.name.replace('_', '-')}", action="store_true", default=f.default)
+        else:
+            p.add_argument(f"--{f.name.replace('_', '-')}", type=type(f.default), default=f.default)
+    p.add_argument("--model-name", type=str, default="roberta-base")
+    p.add_argument("--eval-every", type=int, default=4000)
+    p.add_argument("--num-epochs", type=int, default=30)
+    args = p.parse_args(argv)
+    cfg = GlueConfig(**{f.name: getattr(args, f.name) for f in dc.fields(GlueConfig)})
+    cfg.is_regression = cfg.task == "stsb"
+
+    from transformers import AutoTokenizer, RobertaForSequenceClassification
+
+    model_cfg = roberta_lib.ROBERTA_CONFIGS[args.model_name]
+    hf = RobertaForSequenceClassification.from_pretrained(args.model_name)
+    tokenizer = AutoTokenizer.from_pretrained(args.model_name)
+    trainer = build_roberta_glue_trainer(cfg, model_cfg, pretrained_state_dict=hf.state_dict())
+
+    step = 0
+    for epoch in range(args.num_epochs):
+        for batch in load_glue_batches(cfg.task, tokenizer, "train", cfg.batch_size, cfg.max_length):
+            loss = trainer.step(batch["input_ids"], batch["attention_mask"], batch["labels"])
+            step += 1
+            if step % 100 == 0:
+                print(f"epoch {epoch} step {step} loss {loss:.4f}")
+            if step % args.eval_every == 0:
+                val_split = "validation" if cfg.task in TASK_TO_KEYS else "validation"
+                metrics = trainer.evaluate(
+                    load_glue_batches(cfg.task, tokenizer, val_split, cfg.batch_size, cfg.max_length)
+                )
+                print(f"eval @ {step}: {metrics}")
+    metrics = trainer.evaluate(
+        load_glue_batches(cfg.task, tokenizer, "validation", cfg.batch_size, cfg.max_length)
+    )
+    print(f"final: {metrics}")
+
+
 def build_roberta_glue_trainer(
     cfg: GlueConfig,
     model_cfg: Optional[roberta_lib.RobertaConfig] = None,
@@ -274,3 +369,7 @@ def build_roberta_glue_trainer(
         return roberta_lib.forward(p, ids, model_cfg, mask)
 
     return GlueTrainer(cfg, params, forward_fn)
+
+
+if __name__ == "__main__":
+    main()
