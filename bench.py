@@ -43,34 +43,18 @@ def bench_arch(architecture: str, steps: int = 20, warmup: int = 3) -> dict:
     ids = jnp.asarray(next(data)["input_ids"])
     mask = jnp.ones_like(ids)
 
-    # K serial update steps inside ONE jitted fori_loop: timing is then pure
-    # device compute — immune to async-dispatch quirks of the remote runtime
-    # (block_until_ready alone was observed not to synchronize it).
-    opt = trainer.opt
+    # Per-step timing with a FORCED host transfer of the loss each step:
+    # block_until_ready was observed not to synchronize the remote axon
+    # runtime, so device_get is the sync. The ~1ms transfer overhead is
+    # symmetric across the two architectures being compared.
+    for _ in range(warmup):
+        m = trainer.step(ids, mask)
+    float(m["loss"])
 
-    def one_step(carry):
-        params, opt_state = carry
-        loss, grads = jax.value_and_grad(lambda p: trainer._loss_fn(p, ids, mask))(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return apply_updates(params, updates), opt_state, loss
-
-    @jax.jit
-    def run_k(params, opt_state, k):
-        def body(_, carry):
-            params, opt_state, _ = carry
-            return one_step((params, opt_state))
-
-        zero = jnp.float32(0)
-        params, opt_state, loss = jax.lax.fori_loop(
-            0, k, body, (params, opt_state, zero)
-        )
-        return params, opt_state, loss
-
-    p, s, loss = run_k(trainer.params, trainer.opt_state, warmup)
-    float(loss)  # hard sync via host transfer
     t0 = time.perf_counter()
-    p, s, loss = run_k(p, s, steps)
-    float(loss)
+    for _ in range(steps):
+        m = trainer.step(ids, mask)
+        float(m["loss"])  # hard sync
     dt = time.perf_counter() - t0
 
     tokens = steps * cfg.batch_size * cfg.max_length

@@ -41,6 +41,9 @@ class LlamaConfig:
     tie_word_embeddings: bool = False
     attention_bias: bool = False
     mlp_bias: bool = False
+    # rematerialize each block's activations in backward (the reference's
+    # --activation_checkpointing flag, simple_train.py:67)
+    remat: bool = False
 
     @property
     def kv_heads(self) -> int:
@@ -180,9 +183,14 @@ def forward(
     cfg: LlamaConfig,
     attention_mask: Optional[jax.Array] = None,
     positions: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Logits ``(batch, seq, vocab)``. ``attention_mask``: (batch, seq) with
-    1 = attend, 0 = padding (combined with the causal mask)."""
+    """Logits ``(batch, seq, vocab)``.
+
+    ``attention_mask``: (batch, seq), 1 = attend, 0 = padding.
+    ``segment_ids``: (batch, seq) document ids for packed batches —
+    attention stays block-diagonal per document (0 = padding).
+    """
     b, t = input_ids.shape
     x = params["embed"]["embedding"][input_ids]
 
@@ -190,17 +198,23 @@ def forward(
         positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
 
-    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+    mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
     if attention_mask is not None:
-        pad = attention_mask[:, None, None, :].astype(bool)
-        mask = causal & pad
-    else:
-        mask = causal
+        mask = mask & attention_mask[:, None, None, :].astype(bool)
+    if segment_ids is not None:
+        same_seg = segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+        mask = mask & same_seg & (segment_ids != 0)[:, None, None, :]
 
-    for i in range(cfg.num_hidden_layers):
-        lp = params["layers"][str(i)]
+    def block(x, lp):
         x = x + _attention(lp["attn"], rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps), cfg, cos, sin, mask)
         x = x + _mlp(lp["mlp"], rms_norm(x, lp["post_norm"]["scale"], cfg.rms_norm_eps))
+        return x
+
+    if cfg.remat:
+        block = jax.checkpoint(block)
+
+    for i in range(cfg.num_hidden_layers):
+        x = block(x, params["layers"][str(i)])
 
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:

@@ -68,6 +68,7 @@ class TrainConfig:
     batch_size: int = 128  # per-step global batch (sequences)
     max_length: int = 256
     dtype: str = "bfloat16"
+    activation_checkpointing: bool = False
     seed: int = 42
     # mesh
     mesh_data: int = -1
@@ -91,6 +92,8 @@ class Trainer:
     def __init__(self, cfg: TrainConfig, mesh=None):
         self.cfg = cfg
         self.model_cfg = get_config(cfg.model)
+        if cfg.activation_checkpointing:
+            self.model_cfg = dataclasses.replace(self.model_cfg, remat=True)
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.mesh_data, cfg.mesh_fsdp, cfg.mesh_model
         )

@@ -170,3 +170,38 @@ class TestSoWThroughModel:
         )
         # Blank SoW pretraining: projection params become (in+out)*r*n vs in*out.
         assert n_sow_trainable < n_dense
+
+
+class TestPackedAndRemat:
+    def test_segment_mask_blocks_cross_document_attention(self):
+        params = init_params(KEY, CFG)
+        import numpy as _np
+
+        rng = _np.random.default_rng(0)
+        a = rng.integers(0, CFG.vocab_size, 6)
+        b = rng.integers(0, CFG.vocab_size, 6)
+        packed = jnp.asarray(_np.concatenate([a, b])[None, :])
+        segs = jnp.asarray(_np.concatenate([_np.ones(6), 2 * _np.ones(6)]).astype(_np.int32)[None, :])
+        pos = jnp.asarray(_np.concatenate([_np.arange(6), _np.arange(6)]).astype(_np.int32)[None, :])
+        logits_packed = forward(params, packed, CFG, positions=pos, segment_ids=segs)
+        # second document's logits must equal running it alone
+        logits_alone = forward(params, jnp.asarray(b[None, :]), CFG)
+        np.testing.assert_allclose(
+            np.asarray(logits_packed[0, 6:]), np.asarray(logits_alone[0]), rtol=2e-4, atol=2e-4
+        )
+
+    def test_remat_same_values_and_grads(self):
+        import dataclasses as dc
+
+        params = init_params(KEY, CFG)
+        cfg_r = dc.replace(CFG, remat=True)
+        ids = jax.random.randint(jax.random.PRNGKey(30), (2, 16), 0, CFG.vocab_size)
+
+        def loss(p, cfg):
+            return causal_lm_loss(forward(p, ids, cfg), ids)
+
+        l1, g1 = jax.value_and_grad(loss)(params, CFG)
+        l2, g2 = jax.value_and_grad(loss)(params, cfg_r)
+        assert abs(float(l1) - float(l2)) < 1e-5
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
