@@ -69,6 +69,7 @@ class TrainConfig:
     max_length: int = 256
     dtype: str = "bfloat16"
     activation_checkpointing: bool = False
+    fused_loss: bool = True  # Pallas streaming-CE kernel (TPU only)
     seed: int = 42
     # mesh
     mesh_data: int = -1
@@ -223,9 +224,23 @@ class Trainer:
         return self.cfg.architecture in ("sow", "lora")
 
     # -- steps -------------------------------------------------------------
+    def _use_fused_loss(self) -> bool:
+        return (
+            self.cfg.fused_loss
+            and self.mesh.devices.flat[0].platform == "tpu"
+            and self.model_cfg.vocab_size % 128 == 0
+            # TODO(multi-chip): wrap the kernel in shard_map over the batch
+            # axes; until then the fused path is single-device only.
+            and self.mesh.devices.size == 1
+        )
+
     def _loss_fn(self, params, input_ids, attention_mask):
         labels = jnp.where(attention_mask.astype(bool), input_ids, -100)
         logits = llama_lib.forward(params, input_ids, self.model_cfg, attention_mask)
+        if self._use_fused_loss():
+            from sow_tpu.ops.fused_ce import fused_causal_lm_loss
+
+            return fused_causal_lm_loss(logits, labels)
         return llama_lib.causal_lm_loss(logits, labels)
 
     def _make_train_step(self):
