@@ -69,7 +69,10 @@ class TrainConfig:
     max_length: int = 256
     dtype: str = "bfloat16"
     activation_checkpointing: bool = False
-    fused_loss: bool = True  # Pallas streaming-CE kernel (TPU only)
+    # Pallas streaming-CE kernel. Off by default: measured slower than XLA's
+    # fused softmax-CE on v5e at llama-60m shapes (the kernel's second
+    # logits read in backward outweighs the fp32-intermediate savings).
+    fused_loss: bool = False
     seed: int = 42
     # mesh
     mesh_data: int = -1
