@@ -46,16 +46,20 @@ def bench_arch(architecture: str, steps: int = 20, warmup: int = 3) -> dict:
     # Per-step timing with a FORCED host transfer of the loss each step:
     # block_until_ready was observed not to synchronize the remote axon
     # runtime, so device_get is the sync. The ~1ms transfer overhead is
-    # symmetric across the two architectures being compared.
+    # symmetric across the two architectures being compared. Median step
+    # time — the tunneled chip shows multi-ms run-to-run jitter.
     for _ in range(warmup):
         m = trainer.step(ids, mask)
     float(m["loss"])
 
-    t0 = time.perf_counter()
+    times = []
     for _ in range(steps):
+        t0 = time.perf_counter()
         m = trainer.step(ids, mask)
         float(m["loss"])  # hard sync
-    dt = time.perf_counter() - t0
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2] * steps  # median extrapolated
 
     tokens = steps * cfg.batch_size * cfg.max_length
     # trainable / optimizer HBM accounting (ref memory_utils.py:13-27)

@@ -41,6 +41,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--logging-steps", type=int, default=100)
     p.add_argument("--synthetic-data", action="store_true", default=False)
     p.add_argument("--continue-from", type=str, default=None)
+    p.add_argument("--metrics-path", type=str, default=None, help="JSONL metrics sink")
+    p.add_argument("--wandb-project", type=str, default=None)
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture a jax.profiler trace of steps 10-15 here")
     return p.parse_args(argv)
 
 
@@ -76,14 +80,30 @@ def main(argv=None):
         synthetic=args.synthetic_data,
     )
 
+    from sow_tpu.utils.logging import MetricsLogger, device_memory_stats, profile_trace
+
+    logger = MetricsLogger(args.metrics_path, args.wandb_project, dataclasses.asdict(cfg))
     t_log = time.perf_counter()
     tokens_at_log = trainer.tokens_seen
     for _ in range(start_step, cfg.num_training_steps):
         batch = next(data)
+        step_next = trainer.update_step + 1
+        if args.profile_dir and step_next == 10:
+            import jax.profiler as _prof
+
+            os.makedirs(args.profile_dir, exist_ok=True)
+            _prof.start_trace(args.profile_dir)
         metrics = trainer.step(
             jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"])
         )
         step = trainer.update_step
+        if args.profile_dir and step == 15:
+            import jax.profiler as _prof
+
+            _prof.stop_trace()
+        if step == 10:
+            # optimizer-HBM probe at update 10 (ref simple_train.py:634-641)
+            logger.log(step, **{"memory": device_memory_stats()})
 
         if step % args.logging_steps == 0:
             dt = time.perf_counter() - t_log
@@ -91,6 +111,13 @@ def main(argv=None):
             print(
                 f"step {step} | loss {float(metrics['loss']):.4f} | "
                 f"grad_norm {float(metrics['grad_norm']):.3f} | {tps:,.0f} tokens/s"
+            )
+            logger.log(
+                step,
+                loss=metrics["loss"],
+                grad_norm=metrics["grad_norm"],
+                tokens_per_sec=tps,
+                tokens_seen=trainer.tokens_seen,
             )
             t_log, tokens_at_log = time.perf_counter(), trainer.tokens_seen
 
