@@ -44,6 +44,9 @@ class LlamaConfig:
     # rematerialize each block's activations in backward (the reference's
     # --activation_checkpointing flag, simple_train.py:67)
     remat: bool = False
+    # "xla" (einsum softmax) or "flash" (Pallas TPU flash-attention kernel;
+    # falls back to xla off-TPU)
+    attention_impl: str = "xla"
 
     @property
     def kv_heads(self) -> int:
@@ -147,7 +150,19 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * cos + rot * sin
 
 
-def _attention(layer_p: dict, x: jax.Array, cfg: LlamaConfig, cos, sin, mask) -> jax.Array:
+def _flash_ok(cfg: LlamaConfig, t: int) -> bool:
+    return (
+        cfg.attention_impl == "flash"
+        and jax.default_backend() == "tpu"
+        and cfg.head_dim % 8 == 0
+        and t % 128 == 0
+    )
+
+
+def _attention(
+    layer_p: dict, x: jax.Array, cfg: LlamaConfig, cos, sin, mask,
+    attn_segment_ids=None,
+) -> jax.Array:
     b, t, h = x.shape
     nh, kvh, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
 
@@ -163,10 +178,25 @@ def _attention(layer_p: dict, x: jax.Array, cfg: LlamaConfig, cos, sin, mask) ->
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
 
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / math.sqrt(hd)
-    scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    if _flash_ok(cfg, t):
+        # Pallas flash-attention kernel (jax.experimental.pallas.ops.tpu);
+        # padding/document structure is expressed through segment ids.
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds, flash_attention,
+        )
+
+        seg = None
+        if attn_segment_ids is not None:
+            s = attn_segment_ids.astype(jnp.int32)
+            seg = SegmentIds(q=s, kv=s)
+        out = flash_attention(
+            q, k, v, segment_ids=seg, causal=True, sm_scale=1.0 / math.sqrt(hd)
+        )
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / math.sqrt(hd)
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
     return linear_apply(layer_p["o_proj"], out)
 

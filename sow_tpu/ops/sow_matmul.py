@@ -101,13 +101,25 @@ def _nb_bwd(res, dy):
 sow_matmul_nobase.defvjp(_nb_fwd, _nb_bwd)
 
 
+def _pad128(nr: int) -> int:
+    return -(-nr // 128) * 128
+
+
 def _reassoc_wins(k: int, n: int, nr: int) -> bool:
     """Shape heuristic: reassociation replaces the M*K*N dW matmul with four
     skinny token-space matmuls whose inner/minor dim pads to the 128-lane MXU
     tile. Measured on v5e, the skinny path only wins when its padded FLOPs
     are well under the dW FLOPs (fusion losses eat narrow margins)."""
-    nr_pad = -(-nr // 128) * 128
-    return 2 * nr_pad * (k + n) < 0.5 * k * n
+    return 2 * _pad128(nr) * (k + n) < 0.5 * k * n
+
+
+def _factored_wins(k: int, n: int, nr: int) -> bool:
+    """Blank layers (no base) can run fully factored — ``(x @ D) @ U`` —
+    with NO K x N object anywhere: fwd+bwd is ~3*M*nr_pad*(K+N) FLOPs vs
+    dense's ~3*M*K*N. Plain autodiff already yields the 6 skinny matmuls,
+    so no custom vjp is needed. Wins whenever the padded-rank FLOPs beat the
+    dense-width FLOPs with margin."""
+    return 2 * _pad128(nr) * (k + n) < 0.9 * k * n
 
 
 def sow_linear(
@@ -135,22 +147,38 @@ def sow_linear(
 
     use_reassoc = _reassoc_wins(k, nf, n * r)
     if acc_down is None:
-        if use_reassoc:
+        if _factored_wins(k, nf, n * r):
+            # fully factored: two thin MXU matmuls, no K x N weight ever
+            s = scale32.astype(x.dtype)
+            y = (jnp.dot(x2, d2) * s) @ u2
+        elif use_reassoc:
             y = sow_matmul_nobase(x2, d2, u2, scale32)
         else:
             w_eff = (scale32 * _f32dot(d2, u2)).astype(x.dtype)
             y = x2 @ w_eff
     else:
-        if acc_up is not None:
-            w_base = _f32dot(acc_down, acc_up).astype(x.dtype)
+        vr = acc_down.shape[1] if acc_up is not None else None
+        if (
+            acc_up is not None
+            and _factored_wins(k, nf, vr)
+            and _factored_wins(k, nf, n * r)
+        ):
+            # both the base and the factors stay factored on the token path
+            ad = jax.lax.stop_gradient(acc_down)
+            au = jax.lax.stop_gradient(acc_up)
+            s = scale32.astype(x.dtype)
+            y = jnp.dot(jnp.dot(x2, ad), au) + (jnp.dot(x2, d2) * s) @ u2
         else:
-            w_base = acc_down
-        w_base = jax.lax.stop_gradient(w_base)
-        if use_reassoc:
-            y = sow_matmul(x2, d2, u2, w_base, scale32)
-        else:
-            w_eff = (w_base.astype(jnp.float32) + scale32 * _f32dot(d2, u2)).astype(x.dtype)
-            y = x2 @ w_eff
+            if acc_up is not None:
+                w_base = _f32dot(acc_down, acc_up).astype(x.dtype)
+            else:
+                w_base = acc_down
+            w_base = jax.lax.stop_gradient(w_base)
+            if use_reassoc:
+                y = sow_matmul(x2, d2, u2, w_base, scale32)
+            else:
+                w_eff = (w_base.astype(jnp.float32) + scale32 * _f32dot(d2, u2)).astype(x.dtype)
+                y = x2 @ w_eff
 
     y = y.reshape(*lead, nf)
     if bias is not None:
