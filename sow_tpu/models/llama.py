@@ -270,6 +270,61 @@ def causal_lm_loss(
     return nll.sum() / jnp.maximum(valid.sum(), 1)
 
 
+# -- sequence classification --------------------------------------------------
+
+def init_classifier_head(key: jax.Array, cfg: LlamaConfig, num_labels: int, dtype=jnp.float32) -> dict:
+    """Score head for sequence classification (HF ``LlamaForSequenceClassification``
+    uses a single bias-free linear over the last non-pad token's hidden
+    state; ref GLUE-LLaMA path ``run_glue.py:517-553``)."""
+    return {
+        "score": {
+            "kernel": (
+                cfg.initializer_range
+                * jax.random.normal(key, (cfg.hidden_size, num_labels), jnp.float32)
+            ).astype(dtype)
+        }
+    }
+
+
+def forward_classify(
+    params: dict,
+    classifier: dict,
+    input_ids: jax.Array,
+    cfg: LlamaConfig,
+    attention_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Classification logits (batch, num_labels) from the last real token."""
+    b, t = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones_like(input_ids)
+    hidden = forward_hidden(params, input_ids, cfg, attention_mask)
+    last = jnp.maximum(attention_mask.sum(axis=1) - 1, 0)  # (b,)
+    pooled = hidden[jnp.arange(b), last]
+    return linear_apply(classifier["score"], pooled)
+
+
+def forward_hidden(
+    params: dict,
+    input_ids: jax.Array,
+    cfg: LlamaConfig,
+    attention_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Final-norm hidden states (batch, seq, hidden) — the trunk of
+    ``forward`` without the LM head."""
+    b, t = input_ids.shape
+    x = params["embed"]["embedding"][input_ids]
+    positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
+    if attention_mask is not None:
+        mask = mask & attention_mask[:, None, None, :].astype(bool)
+    for i in range(cfg.num_hidden_layers):
+        lp = params["layers"][str(i)]
+        x = x + _attention(lp["attn"], rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps), cfg, cos, sin, mask)
+        x = x + _mlp(lp["mlp"], rms_norm(x, lp["post_norm"]["scale"], cfg.rms_norm_eps))
+    return rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+
+
 # -- KV-cache decoding -------------------------------------------------------
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> list[dict]:

@@ -293,6 +293,41 @@ def load_glue_batches(
             ids_buf, mask_buf, lab_buf = [], [], []
 
 
+def build_llama_glue_trainer(
+    cfg: GlueConfig,
+    model_cfg,
+    num_labels: int = 2,
+    params: Optional[Any] = None,
+    key: Optional[jax.Array] = None,
+) -> GlueTrainer:
+    """LLaMA sequence-classification GLUE trainer (ref ``run_glue.py:517-553``:
+    frozen base, SoW on the 7-projection target set, last-token score head)."""
+    from sow_tpu.models import llama as llama_lib
+
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    if params is None:
+        key, sub = jax.random.split(key)
+        params = llama_lib.init_params(sub, model_cfg)
+    params.pop("lm_head", None)  # classifier replaces the LM head
+    key, sub = jax.random.split(key)
+    params["classifier"] = llama_lib.init_classifier_head(sub, model_cfg, num_labels)
+
+    sow_cfg = SoWConfig(
+        target_modules=llama_lib.LLAMA_TARGET_MODULES,
+        rank=cfg.rank,
+        n_iter=cfg.n_iter,
+        decompose=cfg.mode,
+    )
+    key, sub = jax.random.split(key)
+    params = prepare_sow(params, sow_cfg, sub)
+
+    def forward_fn(p, ids, mask):
+        trunk = {k: v for k, v in p.items() if k != "classifier"}
+        return llama_lib.forward_classify(trunk, p["classifier"], ids, model_cfg, mask)
+
+    return GlueTrainer(cfg, params, forward_fn)
+
+
 def main(argv=None):
     """GLUE finetune CLI (ref readme.md:27-45):
     ``python -m sow_tpu.train.glue --task cola --rank 8 --mode keep ...``"""

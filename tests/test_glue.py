@@ -121,3 +121,36 @@ class TestEndToEnd:
         assert after["accuracy"] >= before["accuracy"]
         # windowed: accumulation events cause local loss jumps
         assert np.mean(losses[-8:]) < np.mean(losses[:8])
+
+
+@pytest.mark.slow
+class TestLlamaGlue:
+    def test_llama_classifier_finetune(self):
+        from sow_tpu.models import get_config
+        from sow_tpu.train.glue import build_llama_glue_trainer
+
+        model_cfg = get_config("llama_test")
+        # reference-like LR split: tiny sow_lr so the frozen-trunk function
+        # stays near-stationary while the head learns
+        cfg = GlueConfig(task="sst2", rank=2, accumulation_steps=10,
+                         learning_rate=1e-2, sow_lr=1e-4, num_training_steps=100)
+        trainer = build_llama_glue_trainer(cfg, model_cfg, num_labels=2)
+        # SoW surgery on all 7 projections; classifier head trains
+        assert len([p for p, _ in iter_sow(trainer.params)]) == 7 * model_cfg.num_hidden_layers
+        labels = finetune_labels(trainer.params)
+        assert labels["classifier"]["score"]["kernel"] == "decay"
+
+        # label depends on the pooled (last) token so the frozen-trunk +
+        # trainable-head setup has direct signal
+        rng = np.random.default_rng(0)
+        losses = []
+        for _ in range(25):
+            ids = rng.integers(2, model_cfg.vocab_size, (8, 8))
+            labels_b = (ids[:, -1] < model_cfg.vocab_size // 2).astype(np.int64)
+            losses.append(
+                trainer.step(
+                    jnp.asarray(ids), jnp.asarray(np.ones_like(ids)), jnp.asarray(labels_b)
+                )
+            )
+        assert trainer.n_accumulations == 2
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
