@@ -30,7 +30,7 @@ def bench_arch(architecture: str, steps: int = 20, warmup: int = 3) -> dict:
         architecture=architecture,
         rank=50,
         sow_accumulation=0,  # keep the hot loop pure; accumulation is cold-path
-        batch_size=64,
+        batch_size=256,
         max_length=256,
         dtype="bfloat16",
         num_training_steps=10_000,
