@@ -133,29 +133,35 @@ def sow_linear(
 ) -> jax.Array:
     """Full SoW linear on arbitrary-rank ``x`` (..., K).
 
-    Picks per shape between plain autodiff of the fold (best for small
-    layers / large ranks — XLA fuses fold+matmul and the dW path is cheap)
-    and the reassociated custom backward (wins decisively for big layers
-    with modest total rank, e.g. 7B finetuning at r=8)."""
+    All paths keep ``x`` at its native rank — flattening to 2D and back was
+    measured to cost ~one extra activation-sized copy per layer per
+    direction (the 3D->2D reshapes defeated XLA's layout propagation,
+    +15GB/step on llama-60m bs=256). Strategy per shape:
+
+      * folded (default): ``y = x @ (W_base + s*D@U)`` — byte-identical to
+        a dense layer (measured), fold FLOPs are batch-free;
+      * factored (blank/factored base when the padded-rank FLOPs win):
+        ``y = (x@D)@U`` etc. — ~3x fewer FLOPs, +~4% bytes; XLA autodiff
+        already yields the optimal skinny backward;
+      * reassociated custom VJP (2D fast path for very large layers with
+        small rank — 7B finetuning): dW is never materialized.
+    """
     n, k, r = down.shape
     _, _, nf = up.shape
     d2 = jnp.transpose(down, (1, 0, 2)).reshape(k, n * r)
     u2 = up.reshape(n * r, nf)
-    lead = x.shape[:-1]
-    x2 = x.reshape(-1, k)
     scale32 = jax.lax.stop_gradient(scale).astype(jnp.float32)
 
-    use_reassoc = _reassoc_wins(k, nf, n * r)
     if acc_down is None:
         if _factored_wins(k, nf, n * r):
-            # fully factored: two thin MXU matmuls, no K x N weight ever
             s = scale32.astype(x.dtype)
-            y = (jnp.dot(x2, d2) * s) @ u2
-        elif use_reassoc:
-            y = sow_matmul_nobase(x2, d2, u2, scale32)
+            y = jnp.matmul(jnp.matmul(x, d2) * s, u2)
+        elif _reassoc_wins(k, nf, n * r):
+            lead = x.shape[:-1]
+            y = sow_matmul_nobase(x.reshape(-1, k), d2, u2, scale32).reshape(*lead, nf)
         else:
             w_eff = (scale32 * _f32dot(d2, u2)).astype(x.dtype)
-            y = x2 @ w_eff
+            y = jnp.matmul(x, w_eff)
     else:
         vr = acc_down.shape[1] if acc_up is not None else None
         if (
@@ -163,24 +169,23 @@ def sow_linear(
             and _factored_wins(k, nf, vr)
             and _factored_wins(k, nf, n * r)
         ):
-            # both the base and the factors stay factored on the token path
             ad = jax.lax.stop_gradient(acc_down)
             au = jax.lax.stop_gradient(acc_up)
             s = scale32.astype(x.dtype)
-            y = jnp.dot(jnp.dot(x2, ad), au) + (jnp.dot(x2, d2) * s) @ u2
+            y = jnp.matmul(jnp.matmul(x, ad), au) + jnp.matmul(jnp.matmul(x, d2) * s, u2)
         else:
             if acc_up is not None:
                 w_base = _f32dot(acc_down, acc_up).astype(x.dtype)
             else:
                 w_base = acc_down
             w_base = jax.lax.stop_gradient(w_base)
-            if use_reassoc:
-                y = sow_matmul(x2, d2, u2, w_base, scale32)
+            if _reassoc_wins(k, nf, n * r):
+                lead = x.shape[:-1]
+                y = sow_matmul(x.reshape(-1, k), d2, u2, w_base, scale32).reshape(*lead, nf)
             else:
                 w_eff = (w_base.astype(jnp.float32) + scale32 * _f32dot(d2, u2)).astype(x.dtype)
-                y = x2 @ w_eff
+                y = jnp.matmul(x, w_eff)
 
-    y = y.reshape(*lead, nf)
     if bias is not None:
         y = y + bias
     return y
