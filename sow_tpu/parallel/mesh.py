@@ -108,6 +108,7 @@ def opt_state_shardings(mesh: Mesh, opt_state, params_sh) -> Any:
         return sh
 
     from sow_tpu.optim.adamw import GroupedAdamWState
+    from sow_tpu.optim.combine import SplitState
 
     if isinstance(opt_state, GroupedAdamWState):
         return GroupedAdamWState(
@@ -115,6 +116,11 @@ def opt_state_shardings(mesh: Mesh, opt_state, params_sh) -> Any:
             count=jax.tree_util.tree_map(lambda _: rep, opt_state.count),
             mu=jax.tree_util.tree_map(moment_sh, params_sh, opt_state.mu),
             nu=jax.tree_util.tree_map(moment_sh, params_sh, opt_state.nu),
+        )
+    if isinstance(opt_state, SplitState):
+        return SplitState(
+            main=opt_state_shardings(mesh, opt_state.main, params_sh),
+            routed=jax.tree_util.tree_map(lambda _: rep, opt_state.routed),
         )
     # fall back: replicate everything
     return jax.tree_util.tree_map(lambda _: rep, opt_state)

@@ -64,6 +64,10 @@ class TrainConfig:
     galore_rank: int = 128
     update_proj_gap: int = 200
     galore_scale: float = 0.25
+    # Project embed/lm_head optimizer state (the bulk of SoW's remaining
+    # optimizer HBM) with GaLore while the rest uses grouped AdamW. Costs a
+    # periodic SVD of the embedding gradient; off by default.
+    galore_embeddings: bool = False
     # data/model
     batch_size: int = 128  # per-step global batch (sequences)
     max_length: int = 256
@@ -215,6 +219,34 @@ class Trainer:
         labels = param_labels(self.params) if self._has_sow() else jax.tree_util.tree_map(
             lambda _: "regular", self.params
         )
+        if self.cfg.galore_embeddings:
+            # embed/lm_head moments (the bulk of remaining optimizer HBM) go
+            # through GaLore's rank-r projection; freeze them for AdamW.
+            from sow_tpu.optim.combine import split_optimizer
+            from sow_tpu.optim.galore import galore_adamw
+
+            routed_keys = [k for k in ("embed", "lm_head") if k in self.params]
+            for k in routed_keys:
+                labels[k] = jax.tree_util.tree_map(lambda _: "frozen", labels[k])
+            self.labels = labels
+            main = grouped_adamw(
+                labels,
+                lrs={"regular": self.cfg.lr, "sow": self.cfg.sow_lr},
+                schedules=self._schedules(),
+                weight_decay=self.cfg.weight_decay,
+            )
+            sched = self._schedules()["regular"]
+            routed = galore_adamw(
+                lr=lambda step: self.cfg.lr * sched(step),
+                rank=self.cfg.galore_rank,
+                update_proj_gap=self.cfg.update_proj_gap,
+                scale=self.cfg.galore_scale,
+                weight_decay=self.cfg.weight_decay,
+                # project any routed matrix the configured rank can compress
+                min_dim=max(2 * self.cfg.galore_rank, 16),
+            )
+            self.opt = split_optimizer(main, routed, routed_keys)
+            return
         self.labels = labels
         self.opt = grouped_adamw(
             labels,
@@ -340,12 +372,15 @@ class Trainer:
         are rebuilt; non-SoW moments are carried over by param path — only
         the SoW group restarts, exactly like the reference.
         """
+        from sow_tpu.optim.combine import SplitState as _SplitState
+
         key = jax.random.PRNGKey(self.cfg.seed + 1000 + self.update_step)
         new_params = accumulate_tree(self.params, key)
         old_state = self.opt_state
+        old_main = old_state.main if isinstance(old_state, _SplitState) else old_state
 
         old_moments = {}
-        for name, tree in (("mu", old_state.mu), ("nu", old_state.nu)):
+        for name, tree in (("mu", old_main.mu), ("nu", old_main.nu)):
             for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
                 old_moments[(name, jax.tree_util.keystr(path))] = leaf
 
@@ -367,17 +402,29 @@ class Trainer:
                     out.append(leaf)  # sow group: fresh zeros == the reset
             return jax.tree_util.tree_unflatten(treedef, out)
 
-        # Per-group counts: keep non-sow groups' counts, sow restarts at 0.
-        new_count = {
-            l: (old_state.count[l] if l != "sow" and l in old_state.count else c)
-            for l, c in fresh.count.items()
-        }
-        self.opt_state = type(old_state)(
-            step=old_state.step,
-            count=new_count,
-            mu=carry_over("mu", fresh.mu, self.labels),
-            nu=carry_over("nu", fresh.nu, self.labels),
-        )
+        from sow_tpu.optim.adamw import GroupedAdamWState
+        from sow_tpu.optim.combine import SplitState
+
+        def rebuild(old_st, fresh_st):
+            if isinstance(old_st, SplitState):
+                return SplitState(
+                    main=rebuild(old_st.main, fresh_st.main),
+                    routed=old_st.routed,  # embed/head state unaffected by SoW events
+                )
+            assert isinstance(fresh_st, GroupedAdamWState)
+            # Per-group counts: non-sow groups keep counts, sow restarts at 0.
+            new_count = {
+                l: (old_st.count[l] if l != "sow" and l in old_st.count else c)
+                for l, c in fresh_st.count.items()
+            }
+            return GroupedAdamWState(
+                step=old_st.step,
+                count=new_count,
+                mu=carry_over("mu", fresh_st.mu, self.labels),
+                nu=carry_over("nu", fresh_st.nu, self.labels),
+            )
+
+        self.opt_state = rebuild(old_state, fresh)
 
     # -- eval --------------------------------------------------------------
     def _make_eval_step(self):

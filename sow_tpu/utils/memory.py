@@ -22,10 +22,14 @@ def _nbytes(x) -> int:
 def optimizer_memory_usage(opt_state) -> int:
     """Total bytes of moment buffers (ref ``memory_utils.py:13-20``)."""
     total = 0
-    for attr in ("mu", "nu", "momentum_buf"):
+    for attr in ("mu", "nu", "momentum_buf", "proj"):
         tree = getattr(opt_state, attr, None)
         if tree is not None:
             total += sum(_nbytes(x) for x in jax.tree_util.tree_leaves(tree))
+    for attr in ("main", "routed"):  # SplitState combinator
+        sub = getattr(opt_state, attr, None)
+        if sub is not None:
+            total += optimizer_memory_usage(sub)
     return total
 
 

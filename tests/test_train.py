@@ -130,3 +130,28 @@ class TestShardingPlacement:
         trainer = make_trainer()
         layer = trainer.params["layers"]["0"]["attn"]["q_proj"]
         assert not layer.down.sharding.is_fully_replicated  # sharded on fsdp
+
+
+@pytest.mark.slow
+class TestGaloreEmbeddings:
+    def test_split_optimizer_trains_and_survives_accumulation(self):
+        from sow_tpu.utils.memory import optimizer_memory_usage
+
+        t_plain = make_trainer()
+        t_gal = make_trainer(galore_embeddings=True, galore_rank=8, update_proj_gap=5)
+        # embed/head moments projected -> much smaller optimizer state
+        assert optimizer_memory_usage(t_gal.opt_state) < 0.5 * optimizer_memory_usage(
+            t_plain.opt_state
+        )
+        data = affine_stream(8, 16, t_gal.model_cfg.vocab_size, seed=7)
+        losses = []
+        for _ in range(25):  # crosses accumulation events at 10, 20
+            losses.append(float(t_gal.step(jnp.asarray(next(data)["input_ids"]))["loss"]))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+        # embeddings actually moved (galore path applied updates)
+        base = make_trainer(galore_embeddings=True, galore_rank=8)
+        diff = np.abs(
+            np.asarray(t_gal.params["embed"]["embedding"])
+            - np.asarray(base.params["embed"]["embedding"])
+        ).max()
+        assert diff > 0
