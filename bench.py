@@ -77,6 +77,22 @@ def bench_arch(architecture: str, steps: int = 20, warmup: int = 3) -> dict:
     }
 
 
+def _galore_embed_opt_bytes() -> int:
+    """Optimizer bytes of the sow + galore_embeddings config (state only —
+    no train step compiled)."""
+    from sow_tpu.train.trainer import TrainConfig, Trainer
+    from sow_tpu.utils.memory import optimizer_memory_usage
+
+    tr = Trainer(
+        TrainConfig(
+            model="llama_60m", architecture="sow", rank=50, sow_accumulation=0,
+            galore_embeddings=True, galore_rank=128, batch_size=8, max_length=16,
+            dtype="bfloat16", mesh_data=-1, mesh_fsdp=1, mesh_model=1,
+        )
+    )
+    return optimizer_memory_usage(tr.opt_state)
+
+
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     dense = bench_arch("linear", steps)
@@ -93,6 +109,9 @@ def main():
             "sow_optimizer_bytes": sow["optimizer_bytes"],
             "dense_optimizer_bytes": dense["optimizer_bytes"],
             "optimizer_mem_ratio": round(sow["optimizer_bytes"] / dense["optimizer_bytes"], 4),
+            "optimizer_mem_ratio_galore_embed": round(
+                _galore_embed_opt_bytes() / dense["optimizer_bytes"], 4
+            ),
             "device": str(jax.devices()[0]),
         },
     }
