@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from sow_tpu.nn.sow import SoWLinear
-from sow_tpu.tt import TensorTrain
 
 
 def _flatten_with_paths(tree) -> dict[str, np.ndarray]:

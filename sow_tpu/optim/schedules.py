@@ -13,7 +13,6 @@ cycle every accumulation while the regular group runs one long cosine.
 
 from __future__ import annotations
 
-import math
 from typing import Callable
 
 import jax.numpy as jnp

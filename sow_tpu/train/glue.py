@@ -21,7 +21,6 @@ import numpy as np
 from sow_tpu.models import roberta as roberta_lib
 from sow_tpu.nn import SoWConfig, param_labels, prepare_sow, set_sow_scale
 from sow_tpu.nn import accumulate as accumulate_tree
-from sow_tpu.nn.sow import SoWLinear
 from sow_tpu.optim.adamw import apply_updates, grouped_adamw
 from sow_tpu.optim.schedules import linear_schedule
 from sow_tpu.utils.metrics import glue_metrics

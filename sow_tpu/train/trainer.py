@@ -12,12 +12,10 @@ happens between steps as a pure param/opt-state rebuild.
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sow_tpu.models import llama as llama_lib
 from sow_tpu.models.configs import get_config

@@ -11,7 +11,6 @@ value.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Sequence
 
 import jax
