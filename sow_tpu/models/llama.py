@@ -462,3 +462,56 @@ def params_from_hf_state_dict(state_dict: dict, cfg: LlamaConfig, dtype=jnp.floa
 
 def count_params(params) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+def merge_sow_to_dense(params: dict) -> dict:
+    """Fold every SoW layer back to a plain dense linear subtree.
+
+    The reference's merged-checkpoint flow (``commonsense_evaluate.py:41-48``
+    loads merged safetensors into the base model): ``kernel = W_acc +
+    scale * sum_i A_i B_i``.
+    """
+    from sow_tpu.nn.surgery import map_sow
+
+    def fold(_, layer):
+        out = {"kernel": layer.effective_weight()}
+        if layer.bias is not None:
+            out["bias"] = layer.bias
+        return out
+
+    return map_sow(params, fold)
+
+
+def params_to_hf_state_dict(params: dict, cfg: LlamaConfig) -> dict:
+    """Export to an HF ``LlamaForCausalLM`` state dict (numpy tensors,
+    (out, in)-transposed linears). SoW layers are folded dense first, so the
+    result loads into stock transformers for serving/eval interop."""
+    import numpy as np
+
+    params = merge_sow_to_dense(params)
+
+    def t(x):
+        return np.asarray(jax.device_get(x))
+
+    sd: dict = {"model.embed_tokens.weight": t(params["embed"]["embedding"])}
+    for i in range(cfg.num_hidden_layers):
+        lp = params["layers"][str(i)]
+        pre = f"model.layers.{i}"
+        for name, sub in (
+            (f"{pre}.self_attn.q_proj", lp["attn"]["q_proj"]),
+            (f"{pre}.self_attn.k_proj", lp["attn"]["k_proj"]),
+            (f"{pre}.self_attn.v_proj", lp["attn"]["v_proj"]),
+            (f"{pre}.self_attn.o_proj", lp["attn"]["o_proj"]),
+            (f"{pre}.mlp.gate_proj", lp["mlp"]["gate_proj"]),
+            (f"{pre}.mlp.up_proj", lp["mlp"]["up_proj"]),
+            (f"{pre}.mlp.down_proj", lp["mlp"]["down_proj"]),
+        ):
+            sd[f"{name}.weight"] = t(sub["kernel"]).T
+            if sub.get("bias") is not None:
+                sd[f"{name}.bias"] = t(sub["bias"])
+        sd[f"{pre}.input_layernorm.weight"] = t(lp["input_norm"]["scale"])
+        sd[f"{pre}.post_attention_layernorm.weight"] = t(lp["post_norm"]["scale"])
+    sd["model.norm.weight"] = t(params["norm"]["scale"])
+    if "lm_head" in params:
+        sd["lm_head.weight"] = t(params["lm_head"]["kernel"]).T
+    return sd

@@ -26,6 +26,28 @@ def grid(**axes: Iterable[Any]) -> list[dict[str, Any]]:
     return [dict(zip(names, combo)) for combo in itertools.product(*axes.values())]
 
 
+def random_search(n_trials: int, seed: int = 0, **axes) -> list[dict[str, Any]]:
+    """Random sampling over axes — the stochastic-search counterpart of the
+    reference's wandb bayes sweep (``glue_sweep.py:7-16``). An axis may be a
+    list (uniform choice) or a ``(low, high)`` tuple (log-uniform float)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    combos = []
+    for _ in range(n_trials):
+        combo = {}
+        for name, spec in axes.items():
+            if isinstance(spec, tuple) and len(spec) == 2 and all(
+                isinstance(v, float) for v in spec
+            ):
+                lo, hi = np.log(spec[0]), np.log(spec[1])
+                combo[name] = float(np.exp(rng.uniform(lo, hi)))
+            else:
+                combo[name] = spec[int(rng.integers(len(spec)))]
+        combos.append(combo)
+    return combos
+
+
 def run_sweep(
     base: TrainConfig,
     combos: list[dict[str, Any]],

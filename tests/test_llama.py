@@ -205,3 +205,57 @@ class TestPackedAndRemat:
         assert abs(float(l1) - float(l2)) < 1e-5
         for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+class TestHFExport:
+    def test_roundtrip_through_hf_state_dict(self):
+        from sow_tpu.models.llama import params_from_hf_state_dict, params_to_hf_state_dict
+
+        params = init_params(KEY, CFG)
+        sd = params_to_hf_state_dict(params, CFG)
+        back = params_from_hf_state_dict(sd, CFG)
+        for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def test_sow_merge_preserves_function(self):
+        from sow_tpu.models.llama import merge_sow_to_dense
+
+        params = init_params(KEY, CFG)
+        cfg = SoWConfig(target_modules=LLAMA_TARGET_MODULES, rank=4, decompose="keep")
+        sow_params = prepare_sow(params, cfg, jax.random.PRNGKey(40))
+        merged = merge_sow_to_dense(sow_params)
+        ids = jax.random.randint(jax.random.PRNGKey(41), (2, 12), 0, CFG.vocab_size)
+        np.testing.assert_allclose(
+            np.asarray(forward(merged, ids, CFG)),
+            np.asarray(forward(sow_params, ids, CFG)),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    @pytest.mark.slow
+    def test_merged_sow_loads_into_transformers(self):
+        torch = pytest.importorskip("torch")
+        from transformers import LlamaConfig as HFConfig
+        from transformers import LlamaForCausalLM
+        from sow_tpu.models.llama import params_to_hf_state_dict
+
+        params = init_params(KEY, CFG)
+        cfg = SoWConfig(target_modules=LLAMA_TARGET_MODULES, rank=4, decompose="keep")
+        sow_params = prepare_sow(params, cfg, jax.random.PRNGKey(42))
+        sd = {k: torch.tensor(v) for k, v in params_to_hf_state_dict(sow_params, CFG).items()}
+        hf_cfg = HFConfig(
+            vocab_size=CFG.vocab_size, hidden_size=CFG.hidden_size,
+            intermediate_size=CFG.intermediate_size, num_hidden_layers=CFG.num_hidden_layers,
+            num_attention_heads=CFG.num_attention_heads, num_key_value_heads=CFG.kv_heads,
+            rms_norm_eps=CFG.rms_norm_eps, attention_bias=False,
+            tie_word_embeddings=False, attn_implementation="eager",
+        )
+        model = LlamaForCausalLM(hf_cfg)
+        missing, unexpected = model.load_state_dict(sd, strict=False)
+        assert not unexpected
+        assert all("rotary" in m or "inv_freq" in m for m in missing)
+        model = model.eval()
+        ids_np = np.random.default_rng(2).integers(0, CFG.vocab_size, (1, 10))
+        with torch.no_grad():
+            ref = model(torch.tensor(ids_np)).logits.numpy()
+        ours = np.asarray(forward(sow_params, jnp.asarray(ids_np), CFG))
+        np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=5e-4)

@@ -127,3 +127,15 @@ class TestMemoryAccounting:
         assert u["accumulated_mib"] > 0  # keep mode freezes bases
         assert u["sow_factors_mib"] > 0
         assert u["trainable_mib"] < u["total_mib"]
+
+
+class TestRandomSearch:
+    def test_random_search_axes(self):
+        from sow_tpu.train.sweep import random_search
+
+        combos = random_search(10, seed=1, rank=[2, 4, 8], lr=(1e-5, 1e-2))
+        assert len(combos) == 10
+        assert all(c["rank"] in (2, 4, 8) for c in combos)
+        assert all(1e-5 <= c["lr"] <= 1e-2 for c in combos)
+        # log-uniform spread: both decades appear over 10 draws
+        assert min(c["lr"] for c in combos) < 1e-3 < max(c["lr"] for c in combos)
