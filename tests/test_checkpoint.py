@@ -99,3 +99,42 @@ class TestSowResume:
         t2.update_step = 3
         loss_b = [float(t2.step(b)["loss"]) for b in batches[3:]]
         np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+class TestOrbax:
+    def test_async_save_restore_with_sow_shapes(self, tmp_path):
+        from sow_tpu.checkpoint_orbax import OrbaxCheckpointer
+
+        t1 = tiny_trainer()
+        data = affine_stream(8, 16, t1.model_cfg.vocab_size, seed=11)
+        for _ in range(7):  # crosses the step-5 accumulation
+            t1.step(jnp.asarray(next(data)["input_ids"]))
+        ckpt = OrbaxCheckpointer(str(tmp_path / "orbax"), max_to_keep=2)
+        ckpt.save(t1.update_step, t1.params, t1.opt_state, tokens_seen=t1.tokens_seen)
+        ckpt.wait()
+        assert ckpt.latest_step() == 7
+
+        t2 = tiny_trainer()  # fresh template: acc_down=None
+        restored, meta = ckpt.restore_params(t2.params)
+        assert meta["update_step"] == 7
+        ids = jnp.asarray(next(data)["input_ids"])
+        np.testing.assert_allclose(
+            np.asarray(forward(restored, ids, t2.model_cfg)),
+            np.asarray(forward(t1.params, ids, t1.model_cfg)),
+            rtol=1e-5, atol=1e-5,
+        )
+        ckpt.close()
+
+    def test_retention(self, tmp_path):
+        from sow_tpu.checkpoint_orbax import OrbaxCheckpointer
+
+        cfg = get_config("llama_test")
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        ckpt = OrbaxCheckpointer(str(tmp_path / "o2"), max_to_keep=2, async_save=False)
+        for s in (1, 2, 3):
+            ckpt.save(s, params)
+        ckpt.wait()
+        assert ckpt.latest_step() == 3
+        assert set(ckpt.manager.all_steps()) == {2, 3}  # step 1 GC'd
+        ckpt.close()
