@@ -155,3 +155,37 @@ class TestGaloreEmbeddings:
             - np.asarray(base.params["embed"]["embedding"])
         ).max()
         assert diff > 0
+
+
+@pytest.mark.slow
+class TestGrowRankAndScheduler:
+    def test_grow_rank_training(self):
+        trainer = make_trainer(grow_rank=True, mesh_data=8, mesh_fsdp=1, mesh_model=1)
+        data = affine_stream(8, 16, trainer.model_cfg.vocab_size, seed=12)
+        for _ in range(25):  # events at 10, 20
+            trainer.step(jnp.asarray(next(data)["input_ids"]))
+        for _, layer in iter_sow(trainer.params):
+            # factored base with grown virtual rank (rank=4, n_iter=1:
+            # vr starts at 4, grows by 4 per accumulation)
+            assert layer.acc_up is not None
+            assert layer.virtual_rank >= 8
+
+    def test_reset_scheduler_restarts_sow_lr(self):
+        from sow_tpu.train.trainer import TrainConfig, Trainer
+
+        cfg = TrainConfig(
+            model="llama_test", architecture="sow", rank=2, num_training_steps=40,
+            sow_accumulation=10, reset_scheduler=True, warmup_steps=0.1,
+            batch_size=8, max_length=16, dtype="float32",
+            mesh_data=-1, mesh_fsdp=1, mesh_model=1,
+        )
+        trainer = Trainer(cfg)
+        scheds = trainer._schedules()
+        # sow schedule cycles every sow_accumulation steps; regular doesn't
+        import numpy as np
+
+        sow_vals = [float(scheds["sow"](s)) for s in range(40)]
+        reg_vals = [float(scheds["regular"](s)) for s in range(40)]
+        # restart quirk pins steps 10,11 near zero for the sow group only
+        assert sow_vals[10] == pytest.approx(1e-7)
+        assert reg_vals[10] > 0.1
