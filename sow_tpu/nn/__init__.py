@@ -1,6 +1,7 @@
 from sow_tpu.nn.sow import SoWLinear, sow_forward_unfolded
 from sow_tpu.nn.surgery import (
     SoWConfig,
+    SoWModel,
     accumulate,
     iter_sow,
     linear_apply,
@@ -13,6 +14,7 @@ from sow_tpu.nn.surgery import (
 
 __all__ = [
     "SoWLinear",
+    "SoWModel",
     "SoWConfig",
     "accumulate",
     "iter_sow",

@@ -247,3 +247,26 @@ def param_labels(params) -> Any:
         labeled,
         is_leaf=lambda x: isinstance(x, str),
     )
+
+
+@dataclasses.dataclass
+class SoWModel:
+    """Convenience wrapper pairing a SoW-rewritten param tree with its config
+    (the reference's ``SoWModel(PeftModel)``, ``prepare.py:181-185``, in
+    functional form)."""
+
+    params: Any
+    config: SoWConfig
+
+    @staticmethod
+    def create(params, config: SoWConfig, key: jax.Array) -> "SoWModel":
+        return SoWModel(params=prepare_sow(params, config, key), config=config)
+
+    def accumulate(self, key: jax.Array) -> "SoWModel":
+        return dataclasses.replace(self, params=accumulate(self.params, key))
+
+    def set_scale(self, scale) -> "SoWModel":
+        return dataclasses.replace(self, params=set_sow_scale(self.params, scale))
+
+    def labels(self):
+        return param_labels(self.params)

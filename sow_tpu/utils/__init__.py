@@ -1,4 +1,7 @@
 from sow_tpu.utils.numerics import (
+    perturbe_random,
+    randhaar,
+    randuptri,
     closest_factorization,
     generate_rank_k,
     left_unfolding,
@@ -11,6 +14,9 @@ from sow_tpu.utils.numerics import (
 )
 
 __all__ = [
+    "perturbe_random",
+    "randhaar",
+    "randuptri",
     "closest_factorization",
     "generate_rank_k",
     "left_unfolding",

@@ -132,3 +132,29 @@ def left_unfolding(tensor: jax.Array) -> jax.Array:
 def right_unfolding(tensor: jax.Array) -> jax.Array:
     """(a_1, a_2..a_d) matricization (ref ``utils.py:139-141``)."""
     return unfolding(tensor, 0)
+
+
+def randhaar(key: jax.Array, n: int) -> jax.Array:
+    """Random n x n orthogonal matrix, Haar-distributed (ref
+    ``tn_gradient/utils.py:59-62`` via scipy ortho_group; here QR of a
+    Gaussian with sign-fixed R diagonal — the standard Haar construction)."""
+    z = jax.random.normal(key, (n, n))
+    with jax.default_matmul_precision("highest"):
+        q, r = jnp.linalg.qr(z)
+    return q * jnp.sign(jnp.diagonal(r))[None, :]
+
+
+def randuptri(key: jax.Array, n: int, scale: float = 1.0) -> jax.Array:
+    """Random upper-triangular matrix with chi-distributed diagonal
+    (ref ``tn_gradient/utils.py:64-70``) — together with ``randhaar`` this
+    samples QR factors matching a Gaussian matrix's distribution."""
+    k1, k2 = jax.random.split(key)
+    r = jnp.triu(jax.random.normal(k1, (n, n)))
+    dfs = n - jnp.arange(n)
+    chi = jnp.sqrt(2.0 * jax.random.gamma(k2, dfs / 2.0))
+    return r.at[jnp.arange(n), jnp.arange(n)].set(chi * scale)
+
+
+def perturbe_random(key: jax.Array, matrix: jax.Array, scale: float = 0.02) -> jax.Array:
+    """Gaussian perturbation (ref ``tn_gradient/utils.py:72-76``)."""
+    return matrix + scale * jax.random.normal(key, matrix.shape, matrix.dtype)

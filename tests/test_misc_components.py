@@ -139,3 +139,38 @@ class TestRandomSearch:
         assert all(1e-5 <= c["lr"] <= 1e-2 for c in combos)
         # log-uniform spread: both decades appear over 10 draws
         assert min(c["lr"] for c in combos) < 1e-3 < max(c["lr"] for c in combos)
+
+
+class TestRandomMatrixUtils:
+    def test_randhaar_orthogonal(self):
+        from sow_tpu.utils.numerics import randhaar
+
+        q = randhaar(jax.random.PRNGKey(0), 16)
+        np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(16), atol=1e-5)
+
+    def test_randuptri_shape_and_diag(self):
+        from sow_tpu.utils.numerics import randuptri
+
+        r = np.asarray(randuptri(jax.random.PRNGKey(1), 8))
+        assert np.allclose(r, np.triu(r))
+        assert (np.diag(r) > 0).all()  # chi-distributed: positive
+
+    def test_perturbe(self):
+        from sow_tpu.utils.numerics import perturbe_random
+
+        m = jnp.zeros((4, 4))
+        p = perturbe_random(jax.random.PRNGKey(2), m, scale=0.1)
+        assert 0 < float(jnp.abs(p).mean()) < 0.5
+
+    def test_sow_model_wrapper(self):
+        from sow_tpu.models import get_config, init_params
+        from sow_tpu.nn import SoWConfig, SoWModel, iter_sow
+
+        params = init_params(KEY, get_config("llama_test"))
+        model = SoWModel.create(
+            params, SoWConfig(target_modules=("q_proj",), rank=2, decompose="keep"), KEY
+        )
+        assert len(list(iter_sow(model.params))) == 2
+        model2 = model.accumulate(jax.random.PRNGKey(9)).set_scale(0.5)
+        for _, l in iter_sow(model2.params):
+            assert float(l.scale) == 0.5
