@@ -106,6 +106,8 @@ def main(argv=None):
             logger.log(step, **{"memory": device_memory_stats()})
 
         if step % args.logging_steps == 0:
+            float(metrics["loss"])  # sync: dispatch is async, so the timing
+            # window must close on completed compute, not enqueued work
             dt = time.perf_counter() - t_log
             tps = (trainer.tokens_seen - tokens_at_log) / max(dt, 1e-9)
             print(
