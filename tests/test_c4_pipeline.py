@@ -40,7 +40,7 @@ def _install_fake_datasets(texts):
 
 class _FakeTokenizer:
     def __call__(self, text, max_length=None, truncation=False, padding=None, return_tensors=None):
-        ids = [2 + (hash(w) % 250) for w in text.split()][:max_length]
+        ids = [2 + (hash(w) % 100003) for w in text.split()][:max_length]
         mask = [1] * len(ids)
         if padding == "max_length":
             pad = max_length - len(ids)
