@@ -45,11 +45,31 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--wandb-project", type=str, default=None)
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler trace of steps 10-15 here")
+    p.add_argument("--auto-restart", type=int, default=0,
+                   help="on crash, resume from the latest checkpoint up to N times "
+                        "(simple fault tolerance; the reference has none — "
+                        "SURVEY §5 'failure detection: None')")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    attempts = max(args.auto_restart, 0)
+    while True:
+        try:
+            return _run(args)
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:
+            if attempts <= 0 or not args.save_dir:
+                raise
+            attempts -= 1
+            print(f"[auto-restart] {type(e).__name__}: {e} — resuming from "
+                  f"{args.save_dir} ({attempts} retries left)")
+            args.continue_from = args.save_dir
+
+
+def _run(args):
     cfg_kwargs = {f.name: getattr(args, f.name) for f in dataclasses.fields(TrainConfig)}
     cfg = TrainConfig(**cfg_kwargs)
 
