@@ -163,6 +163,11 @@ class TensorTrain:
         return TensorTrain.from_tensor(tensor, ranks)
 
     @staticmethod
+    def from_cores(cores: Sequence[jax.Array]) -> "TensorTrain":
+        """Wrap existing ``(r, i, j, r')`` cores (ref ``tt.py:38-46``)."""
+        return TensorTrain(cores)
+
+    @staticmethod
     def zeros(
         ranks: Sequence[int],
         input_shape: Sequence[int],
@@ -484,6 +489,28 @@ class TensorTrain:
             b = b.round(max_ranks)
             a = (a * b).round(max_ranks)
         return (2.0 ** (-k)) * a
+
+    def reciprocal(self, max_iter: int = 12, scale_max: float | None = None) -> "TensorTrain":
+        """Elementwise ``1/x`` by Newton iteration ``A <- A * (2 - X*A)``.
+
+        The reference's ``reciprocal`` inverts middle cores bond-wise
+        (``tt.py:480-494``), which is not an elementwise reciprocal (SURVEY
+        C1: "mathematically dubious, effectively unused"); this is the
+        correct map, valid for positive spectra scaled into (0, 1].
+        """
+        k = self._range_exponent(scale_max)
+        xs = (1.0 / (4**k)) * self
+        a = TensorTrain(
+            [
+                jnp.ones((1, i, o, 1), self.dtype)
+                for i, o in zip(self.input_shape, self.output_shape)
+            ]
+        )
+        max_ranks = [1] + [i * o for i, o in zip(self.input_shape, self.output_shape)] + [1]
+        for _ in range(max_iter):
+            b = ((-1.0) * (xs * a).round(max_ranks)).add_const(2.0)
+            a = (a * b).round(max_ranks)
+        return (1.0 / (4**k)) * a
 
     def sqrt(self, max_iter: int = 4, scale_max: float | None = None) -> "TensorTrain":
         """Elementwise ``sqrt(x)`` by coupled Newton iteration in TT form.

@@ -226,3 +226,16 @@ class TestDecomposeJit:
         dense_params = 3 * m * n  # grad + m + v
         tt_params = 3 * tt.numel()
         assert dense_params / tt_params > 10  # reference prints ~“reduction factor”
+
+
+class TestReciprocalAndFromCores:
+    def test_from_cores_roundtrip(self):
+        tt = TensorTrain.ones([1, 2, 2, 1], (2, 2, 2), (3, 3, 3))
+        tt2 = TensorTrain.from_cores(tt.cores)
+        np.testing.assert_array_equal(dense_of(tt), dense_of(tt2))
+
+    def test_reciprocal_elementwise(self):
+        x = jax.random.uniform(jax.random.PRNGKey(11), (3, 3, 3, 3), minval=0.5, maxval=2.0)
+        tt = TensorTrain.from_tensor(x, full_ranks((3, 3), (3, 3)))
+        got = dense_of(tt.reciprocal(max_iter=25))
+        np.testing.assert_allclose(got, 1.0 / np.asarray(x), rtol=2e-2, atol=2e-2)
