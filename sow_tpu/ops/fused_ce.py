@@ -163,6 +163,42 @@ def _fused_ce_bwd(interpret, res, dnll):
 fused_ce_per_token.defvjp(_fused_ce_fwd, _fused_ce_bwd)
 
 
+def fused_causal_lm_loss_sharded(
+    logits: jax.Array,
+    labels: jax.Array,
+    mesh,
+    batch_axes: tuple = ("data", "fsdp"),
+    ignore_index: int = -100,
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-chip wrapper: each shard runs the kernel on its batch slice and
+    the valid-token-weighted mean is psum-reduced over ``batch_axes``.
+
+    Requires the vocab axis unsharded (the streaming logsumexp is per-row;
+    cross-vocab-shard reduction would need a second collective pass) — the
+    trainer gates on ``mesh_model == 1`` accordingly.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(lg, lb):
+        b, s, v = lg.shape
+        flat_logits = lg[:, :-1].reshape(b * (s - 1), v)
+        targets = lb[:, 1:].reshape(b * (s - 1))
+        tgt = jnp.where(targets == ignore_index, -1, targets).astype(jnp.int32)
+        nll = fused_ce_per_token(
+            flat_logits, tgt, jnp.full((b * (s - 1),), 1.0), interpret
+        )
+        total = jax.lax.psum(nll.sum(), batch_axes)
+        n = jax.lax.psum((tgt >= 0).sum(), batch_axes)
+        return total / jnp.maximum(n, 1).astype(jnp.float32)
+
+    spec = P(batch_axes)
+    return shard_map(
+        local, mesh=mesh, in_specs=(spec, spec), out_specs=P(), check_rep=False
+    )(logits, labels)
+
+
 def fused_causal_lm_loss(
     logits: jax.Array,
     labels: jax.Array,

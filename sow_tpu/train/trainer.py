@@ -262,15 +262,19 @@ class Trainer:
             self.cfg.fused_loss
             and self.mesh.devices.flat[0].platform == "tpu"
             and self.model_cfg.vocab_size % 128 == 0
-            # TODO(multi-chip): wrap the kernel in shard_map over the batch
-            # axes; until then the fused path is single-device only.
-            and self.mesh.devices.size == 1
+            # vocab must be unsharded for the streaming logsumexp; batch
+            # sharding is handled by the shard_map wrapper.
+            and self.cfg.mesh_model == 1
         )
 
     def _loss_fn(self, params, input_ids, attention_mask):
         labels = jnp.where(attention_mask.astype(bool), input_ids, -100)
         logits = llama_lib.forward(params, input_ids, self.model_cfg, attention_mask)
         if self._use_fused_loss():
+            if self.mesh.devices.size > 1:
+                from sow_tpu.ops.fused_ce import fused_causal_lm_loss_sharded
+
+                return fused_causal_lm_loss_sharded(logits, labels, self.mesh)
             from sow_tpu.ops.fused_ce import fused_causal_lm_loss
 
             return fused_causal_lm_loss(logits, labels)

@@ -51,3 +51,32 @@ class TestFusedCE:
         lse = jax.scipy.special.logsumexp(logits, axis=-1)
         ref = lse - jnp.take_along_axis(logits, tgt[:, None], 1)[:, 0]
         np.testing.assert_allclose(np.asarray(nll), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+class TestShardedFusedCE:
+    def test_matches_xla_loss_on_8_device_mesh(self):
+        from sow_tpu.ops.fused_ce import fused_causal_lm_loss_sharded
+        from sow_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(4, 2, 1)
+        logits = jax.random.normal(jax.random.PRNGKey(0), (8, 9, 256)) * 2.0
+        labels = jax.random.randint(jax.random.PRNGKey(1), (8, 9), 0, 256)
+        labels = labels.at[:, 6:].set(-100)
+        ref = float(causal_lm_loss(logits, labels))
+        got = float(
+            fused_causal_lm_loss_sharded(logits, labels, mesh, interpret=True)
+        )
+        assert got == pytest.approx(ref, abs=1e-4)
+
+    def test_grads_match_on_mesh(self):
+        from sow_tpu.ops.fused_ce import fused_causal_lm_loss_sharded
+        from sow_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8, 1, 1)
+        logits = jax.random.normal(jax.random.PRNGKey(2), (8, 9, 128))
+        labels = jax.random.randint(jax.random.PRNGKey(3), (8, 9), 0, 128)
+        g1 = jax.grad(lambda l: causal_lm_loss(l, labels))(logits)
+        g2 = jax.grad(
+            lambda l: fused_causal_lm_loss_sharded(l, labels, mesh, interpret=True)
+        )(logits)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-6)
