@@ -106,3 +106,20 @@ class TestLayerIntegration:
         np.testing.assert_allclose(
             np.asarray(layer(x)), np.asarray(layer.call_folded(x)), rtol=1e-4, atol=1e-5
         )
+
+
+class TestPathSelection:
+    def test_heuristics(self):
+        from sow_tpu.ops.sow_matmul import _factored_wins, _reassoc_wins
+
+        # 7B finetune shapes at r=8: both low-rank paths win decisively
+        assert _reassoc_wins(4096, 11008, 8)
+        assert _factored_wins(4096, 11008, 8)
+        # llama-60m pretraining at r=50 (pad 128): factored yes, reassoc no
+        assert _factored_wins(512, 1376, 50)
+        assert not _reassoc_wins(512, 1376, 50)
+        # square small layer at r=50: neither (fold is byte-parity optimal)
+        assert not _factored_wins(512, 512, 50)
+        assert not _reassoc_wins(512, 512, 50)
+        # huge rank: everything folds
+        assert not _factored_wins(512, 1376, 512)
