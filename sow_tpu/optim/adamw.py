@@ -149,3 +149,43 @@ def grouped_adamw(
 def apply_updates(params, updates):
     """``p + u`` leafwise (optax semantics), preserving dtypes."""
     return _tmap(lambda p, u: (p.astype(jnp.float32) + u.astype(jnp.float32)).astype(p.dtype), params, updates)
+
+
+def rebuild_state_after_accumulation(
+    old_state: GroupedAdamWState,
+    fresh_state: GroupedAdamWState,
+    labels: Any,
+    reset_label: str = "sow",
+) -> GroupedAdamWState:
+    """Merge a freshly-initialized state (built on post-accumulation params,
+    whose SoW acc shapes may have changed) with the pre-accumulation state:
+    non-``reset_label`` moments/counts carry over by param path, the reset
+    group keeps the fresh zeros — exactly the reference's per-group
+    ``reset_optimizer`` at each accumulation (``training_utils.py:257-277``
+    called from ``simple_train.py:618-626``)."""
+    old_moments = {}
+    for name, tree in (("mu", old_state.mu), ("nu", old_state.nu)):
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            old_moments[(name, jax.tree_util.keystr(path))] = leaf
+
+    def carry(name, tree):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        lab_leaves = jax.tree_util.tree_leaves(labels)
+        out = []
+        for (path, leaf), lab in zip(flat, lab_leaves):
+            k = (name, jax.tree_util.keystr(path))
+            if lab != reset_label and k in old_moments and old_moments[k].shape == leaf.shape:
+                out.append(old_moments[k])
+            else:
+                out.append(leaf)  # reset group: fresh zeros == the reset
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return GroupedAdamWState(
+        step=old_state.step,
+        count={
+            l: (old_state.count[l] if l != reset_label and l in old_state.count else c)
+            for l, c in fresh_state.count.items()
+        },
+        mu=carry("mu", fresh_state.mu),
+        nu=carry("nu", fresh_state.nu),
+    )

@@ -199,35 +199,12 @@ class GlueTrainer:
         if self.n_accumulations == 1:
             self.params = set_sow_scale(self.params, 1.0 / self.cfg.rank)
 
+        from sow_tpu.optim.adamw import rebuild_state_after_accumulation
+
         old = self.opt_state
-        old_moments = {}
-        for name, tree in (("mu", old.mu), ("nu", old.nu)):
-            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-                old_moments[(name, jax.tree_util.keystr(path))] = leaf
         self._build_optimizer()
         fresh = self.opt.init(self.params)
-
-        def carry(name, tree):
-            flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
-            lab = jax.tree_util.tree_leaves(self.labels)
-            out = []
-            for (path, leaf), l in zip(flat, lab):
-                k = (name, jax.tree_util.keystr(path))
-                if l != "sow" and k in old_moments and old_moments[k].shape == leaf.shape:
-                    out.append(old_moments[k])
-                else:
-                    out.append(leaf)
-            return jax.tree_util.tree_unflatten(treedef, out)
-
-        self.opt_state = type(old)(
-            step=old.step,
-            count={
-                l: (old.count[l] if l != "sow" and l in old.count else c)
-                for l, c in fresh.count.items()
-            },
-            mu=carry("mu", fresh.mu),
-            nu=carry("nu", fresh.nu),
-        )
+        self.opt_state = rebuild_state_after_accumulation(old, fresh, self.labels)
 
     def evaluate(self, batches: Iterable[dict]) -> dict[str, float]:
         fwd = jax.jit(self.forward_fn)

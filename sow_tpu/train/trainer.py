@@ -374,17 +374,12 @@ class Trainer:
         are rebuilt; non-SoW moments are carried over by param path — only
         the SoW group restarts, exactly like the reference.
         """
-        from sow_tpu.optim.combine import SplitState as _SplitState
+        from sow_tpu.optim.adamw import rebuild_state_after_accumulation
+        from sow_tpu.optim.combine import SplitState
 
         key = jax.random.PRNGKey(self.cfg.seed + 1000 + self.update_step)
         new_params = accumulate_tree(self.params, key)
         old_state = self.opt_state
-        old_main = old_state.main if isinstance(old_state, _SplitState) else old_state
-
-        old_moments = {}
-        for name, tree in (("mu", old_main.mu), ("nu", old_main.nu)):
-            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-                old_moments[(name, jax.tree_util.keystr(path))] = leaf
 
         self.params = self._device_put_params(new_params)
         self._build_optimizer()
@@ -392,39 +387,13 @@ class Trainer:
             self.params
         )
 
-        def carry_over(name, tree, labels):
-            flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
-            lab_leaves = jax.tree_util.tree_leaves(labels)
-            out = []
-            for (path, leaf), lab in zip(flat, lab_leaves):
-                k = (name, jax.tree_util.keystr(path))
-                if lab != "sow" and k in old_moments and old_moments[k].shape == leaf.shape:
-                    out.append(old_moments[k])
-                else:
-                    out.append(leaf)  # sow group: fresh zeros == the reset
-            return jax.tree_util.tree_unflatten(treedef, out)
-
-        from sow_tpu.optim.adamw import GroupedAdamWState
-        from sow_tpu.optim.combine import SplitState
-
         def rebuild(old_st, fresh_st):
             if isinstance(old_st, SplitState):
                 return SplitState(
                     main=rebuild(old_st.main, fresh_st.main),
                     routed=old_st.routed,  # embed/head state unaffected by SoW events
                 )
-            assert isinstance(fresh_st, GroupedAdamWState)
-            # Per-group counts: non-sow groups keep counts, sow restarts at 0.
-            new_count = {
-                l: (old_st.count[l] if l != "sow" and l in old_st.count else c)
-                for l, c in fresh_st.count.items()
-            }
-            return GroupedAdamWState(
-                step=old_st.step,
-                count=new_count,
-                mu=carry_over("mu", fresh_st.mu, self.labels),
-                nu=carry_over("nu", fresh_st.nu, self.labels),
-            )
+            return rebuild_state_after_accumulation(old_st, fresh_st, self.labels)
 
         self.opt_state = rebuild(old_state, fresh)
 
