@@ -71,10 +71,30 @@ def _spec_for_path(path: tuple, leaf) -> P:
     return P()  # norms, biases, scalars: replicated
 
 
+def _fit_spec(mesh: Mesh, spec: P, leaf) -> P:
+    """Drop sharding on dimensions the mesh axes don't divide (e.g. a
+    (1, hidden) token-type embedding can't shard its singleton axis)."""
+    shape = getattr(leaf, "shape", ())
+    fitted = []
+    for dim, axes in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
+        if axes is None:
+            fitted.append(None)
+            continue
+        axes_t = axes if isinstance(axes, tuple) else (axes,)
+        size = 1
+        for a in axes_t:
+            size *= mesh.shape[a]
+        fitted.append(axes if dim % size == 0 else None)
+    return P(*fitted)
+
+
 def params_shardings(mesh: Mesh, params: Any) -> Any:
     """NamedSharding tree matching ``params``' structure."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    shardings = [NamedSharding(mesh, _spec_for_path(path, leaf)) for path, leaf in flat]
+    shardings = [
+        NamedSharding(mesh, _fit_spec(mesh, _spec_for_path(path, leaf), leaf))
+        for path, leaf in flat
+    ]
     return jax.tree_util.tree_unflatten(treedef, shardings)
 
 

@@ -123,7 +123,13 @@ def finetune_labels(params: Any, freeze_base: bool = True) -> Any:
 
 
 class GlueTrainer:
-    """Finetune loop core (model-agnostic over our roberta/llama trees)."""
+    """Finetune loop core (model-agnostic over our roberta/llama trees).
+
+    Pass a ``jax.sharding.Mesh`` to finetune across chips: params shard by
+    the same path rules as pretraining, the batch across data x fsdp.
+    Without a mesh it runs single-device like the reference's 1-GPU
+    finetunes.
+    """
 
     def __init__(
         self,
@@ -131,15 +137,21 @@ class GlueTrainer:
         params: Any,
         forward_fn,
         loss_fn=None,
+        mesh=None,
     ):
         self.cfg = cfg
-        self.params = params
+        self.mesh = mesh
         self.forward_fn = forward_fn
         self.loss_fn = loss_fn or (
             lambda logits, labels: roberta_lib.classification_loss(
                 logits, labels, cfg.is_regression
             )
         )
+        if mesh is not None:
+            from sow_tpu.parallel.mesh import params_shardings
+
+            params = jax.device_put(params, params_shardings(mesh, params))
+        self.params = params
         self.update_step = 0
         self.n_accumulations = 0
         self._build_optimizer()
@@ -176,7 +188,25 @@ class GlueTrainer:
             updates, opt_state = opt.update(grads, opt_state, params)
             return apply_updates(params, updates), opt_state, loss
 
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        if self.mesh is None:
+            return jax.jit(train_step, donate_argnums=(0, 1))
+        from sow_tpu.parallel.mesh import (
+            batch_sharding,
+            opt_state_shardings,
+            params_shardings,
+            replicated,
+        )
+
+        p_sh = params_shardings(self.mesh, self.params)
+        dummy = jax.eval_shape(self.opt.init, self.params)
+        o_sh = opt_state_shardings(self.mesh, dummy, p_sh)
+        b_sh = batch_sharding(self.mesh)
+        return jax.jit(
+            train_step,
+            in_shardings=(p_sh, o_sh, b_sh, b_sh, b_sh),
+            out_shardings=(p_sh, o_sh, replicated(self.mesh)),
+            donate_argnums=(0, 1),
+        )
 
     def step(self, input_ids, attention_mask, labels):
         key = jax.tree_util.tree_structure(self.params)
@@ -198,6 +228,12 @@ class GlueTrainer:
         self.n_accumulations += 1
         if self.n_accumulations == 1:
             self.params = set_sow_scale(self.params, 1.0 / self.cfg.rank)
+        if self.mesh is not None:
+            from sow_tpu.parallel.mesh import params_shardings
+
+            self.params = jax.device_put(
+                self.params, params_shardings(self.mesh, self.params)
+            )
 
         from sow_tpu.optim.adamw import rebuild_state_after_accumulation
 
