@@ -258,13 +258,13 @@ class Trainer:
 
     # -- steps -------------------------------------------------------------
     def _use_fused_loss(self) -> bool:
+        # vocab-sharded shards combine via pmax/psum; each shard's slice must
+        # still tile into 128-lane blocks.
+        model = max(self.cfg.mesh_model, 1)
         return (
             self.cfg.fused_loss
             and self.mesh.devices.flat[0].platform == "tpu"
-            and self.model_cfg.vocab_size % 128 == 0
-            # vocab must be unsharded for the streaming logsumexp; batch
-            # sharding is handled by the shard_map wrapper.
-            and self.cfg.mesh_model == 1
+            and self.model_cfg.vocab_size % (128 * model) == 0
         )
 
     def _loss_fn(self, params, input_ids, attention_mask):

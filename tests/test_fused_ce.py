@@ -80,3 +80,30 @@ class TestShardedFusedCE:
             lambda l: fused_causal_lm_loss_sharded(l, labels, mesh, interpret=True)
         )(logits)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-6)
+
+
+class TestVocabShardedFusedCE:
+    def test_vocab_sharded_matches_xla(self):
+        from sow_tpu.ops.fused_ce import fused_causal_lm_loss_sharded
+        from sow_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(2, 2, 2)  # vocab split 2 ways over 'model'
+        logits = jax.random.normal(jax.random.PRNGKey(5), (8, 9, 256)) * 3.0
+        labels = jax.random.randint(jax.random.PRNGKey(6), (8, 9), 0, 256)
+        labels = labels.at[:, 6:].set(-100)
+        ref = float(causal_lm_loss(logits, labels))
+        got = float(fused_causal_lm_loss_sharded(logits, labels, mesh, interpret=True))
+        assert got == pytest.approx(ref, abs=1e-4)
+
+    def test_vocab_sharded_grads_match(self):
+        from sow_tpu.ops.fused_ce import fused_causal_lm_loss_sharded
+        from sow_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(2, 1, 4)  # 4-way vocab shards
+        logits = jax.random.normal(jax.random.PRNGKey(7), (4, 9, 512))
+        labels = jax.random.randint(jax.random.PRNGKey(8), (4, 9), 0, 512)
+        g1 = jax.grad(lambda l: causal_lm_loss(l, labels))(logits)
+        g2 = jax.grad(
+            lambda l: fused_causal_lm_loss_sharded(l, labels, mesh, interpret=True)
+        )(logits)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-6)
