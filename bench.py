@@ -63,13 +63,9 @@ def bench_arch(architecture: str, steps: int = 20, warmup: int = 3) -> dict:
 
     tokens = steps * cfg.batch_size * cfg.max_length
     # trainable / optimizer HBM accounting (ref memory_utils.py:13-27)
-    from sow_tpu.optim.adamw import GroupedAdamWState
+    from sow_tpu.utils.memory import optimizer_memory_usage
 
-    opt_bytes = sum(
-        x.size * x.dtype.itemsize
-        for tree in (trainer.opt_state.mu, trainer.opt_state.nu)
-        for x in jax.tree_util.tree_leaves(tree)
-    )
+    opt_bytes = optimizer_memory_usage(trainer.opt_state)
     return {
         "tokens_per_sec": tokens / dt,
         "step_ms": dt / steps * 1e3,

@@ -140,7 +140,30 @@ def opt_state_shardings(mesh: Mesh, opt_state, params_sh) -> Any:
     if isinstance(opt_state, SplitState):
         return SplitState(
             main=opt_state_shardings(mesh, opt_state.main, params_sh),
-            routed=jax.tree_util.tree_map(lambda _: rep, opt_state.routed),
+            routed=_routed_shardings(mesh, opt_state.routed, params_sh),
         )
     # fall back: replicate everything
     return jax.tree_util.tree_map(lambda _: rep, opt_state)
+
+
+def _routed_shardings(mesh: Mesh, routed_state, params_sh) -> Any:
+    """Shardings for a SplitOptimizer's routed sub-state. FactoredState's
+    exact first moment mirrors its param (a dict subtree of the full params),
+    so it follows the param's sharding; the factored row/col vectors and any
+    projected state (GaLore) are tiny or shape-mismatched -> replicated."""
+    from sow_tpu.optim.factored import FactoredState
+
+    rep = replicated(mesh)
+    if isinstance(routed_state, FactoredState):
+        routed_param_sh = {k: params_sh[k] for k in routed_state.mu}
+        return FactoredState(
+            step=rep,
+            mu=jax.tree_util.tree_map(
+                lambda sh, m: rep if getattr(m, "ndim", 0) == 0 else sh,
+                routed_param_sh,
+                routed_state.mu,
+            ),
+            vr=jax.tree_util.tree_map(lambda _: rep, routed_state.vr),
+            vc=jax.tree_util.tree_map(lambda _: rep, routed_state.vc),
+        )
+    return jax.tree_util.tree_map(lambda _: rep, routed_state)

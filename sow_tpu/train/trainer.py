@@ -62,9 +62,15 @@ class TrainConfig:
     galore_rank: int = 128
     update_proj_gap: int = 200
     galore_scale: float = 0.25
-    # Project embed/lm_head optimizer state (the bulk of SoW's remaining
-    # optimizer HBM) with GaLore while the rest uses grouped AdamW. Costs a
-    # periodic SVD of the embedding gradient; off by default.
+    # Optimizer for the embed/lm_head subtrees under SoW — the bulk of the
+    # remaining optimizer HBM once the projections are factored:
+    #   "factored" (default): exact first moment + Adafactor-style factored
+    #       second moment — full-rank updates, v drops O(m*n) -> O(m+n).
+    #   "galore": rank-r projected AdamW (periodic SVD of the grad).
+    #   "adamw": plain grouped AdamW (the reference's behavior).
+    # Only applies to sow/lora architectures; dense baselines keep AdamW.
+    embed_optimizer: str = "factored"
+    # Back-compat alias: True forces embed_optimizer="galore".
     galore_embeddings: bool = False
     # data/model
     batch_size: int = 128  # per-step global batch (sequences)
@@ -217,11 +223,11 @@ class Trainer:
         labels = param_labels(self.params) if self._has_sow() else jax.tree_util.tree_map(
             lambda _: "regular", self.params
         )
-        if self.cfg.galore_embeddings:
+        embed_opt = "galore" if self.cfg.galore_embeddings else self.cfg.embed_optimizer
+        if self._has_sow() and embed_opt != "adamw":
             # embed/lm_head moments (the bulk of remaining optimizer HBM) go
-            # through GaLore's rank-r projection; freeze them for AdamW.
+            # through a memory-compact optimizer; freeze them for AdamW.
             from sow_tpu.optim.combine import split_optimizer
-            from sow_tpu.optim.galore import galore_adamw
 
             routed_keys = [k for k in ("embed", "lm_head") if k in self.params]
             for k in routed_keys:
@@ -234,15 +240,28 @@ class Trainer:
                 weight_decay=self.cfg.weight_decay,
             )
             sched = self._schedules()["regular"]
-            routed = galore_adamw(
-                lr=lambda step: self.cfg.lr * sched(step),
-                rank=self.cfg.galore_rank,
-                update_proj_gap=self.cfg.update_proj_gap,
-                scale=self.cfg.galore_scale,
-                weight_decay=self.cfg.weight_decay,
-                # project any routed matrix the configured rank can compress
-                min_dim=max(2 * self.cfg.galore_rank, 16),
-            )
+            if embed_opt == "galore":
+                from sow_tpu.optim.galore import galore_adamw
+
+                routed = galore_adamw(
+                    lr=lambda step: self.cfg.lr * sched(step),
+                    rank=self.cfg.galore_rank,
+                    update_proj_gap=self.cfg.update_proj_gap,
+                    scale=self.cfg.galore_scale,
+                    weight_decay=self.cfg.weight_decay,
+                    # project any routed matrix the configured rank can compress
+                    min_dim=max(2 * self.cfg.galore_rank, 16),
+                )
+            elif embed_opt == "factored":
+                from sow_tpu.optim.factored import factored_adamw
+
+                routed = factored_adamw(
+                    lr=lambda step: self.cfg.lr * sched(step),
+                    weight_decay=self.cfg.weight_decay,
+                    min_dim=128,
+                )
+            else:
+                raise ValueError(f"unknown embed_optimizer: {embed_opt!r}")
             self.opt = split_optimizer(main, routed, routed_keys)
             return
         self.labels = labels

@@ -22,7 +22,7 @@ def _nbytes(x) -> int:
 def optimizer_memory_usage(opt_state) -> int:
     """Total bytes of moment buffers (ref ``memory_utils.py:13-20``)."""
     total = 0
-    for attr in ("mu", "nu", "momentum_buf", "proj"):
+    for attr in ("mu", "nu", "momentum_buf", "proj", "vr", "vc"):
         tree = getattr(opt_state, attr, None)
         if tree is not None:
             total += sum(_nbytes(x) for x in jax.tree_util.tree_leaves(tree))

@@ -74,10 +74,10 @@ class TestSowResume:
         fresh = t2.opt.init(t2.params)
         opt_state = restore_opt_state(fresh, d)
         np.testing.assert_array_equal(
-            np.asarray(opt_state.mu["embed"]["embedding"]),
-            np.asarray(t1.opt_state.mu["embed"]["embedding"]),
+            np.asarray(opt_state.routed.mu["embed"]["embedding"]),
+            np.asarray(t1.opt_state.routed.mu["embed"]["embedding"]),
         )
-        assert int(opt_state.step) == int(t1.opt_state.step)
+        assert int(opt_state.main.step) == int(t1.opt_state.main.step)
 
     def test_training_continues_identically(self, tmp_path):
         t1 = tiny_trainer(sow_accumulation=100)

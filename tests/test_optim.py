@@ -237,3 +237,76 @@ class TestPureTT:
         ref = 1e-3 * np.asarray(g) / np.sqrt(np.asarray(g) ** 2)
         err = np.linalg.norm(upd_dense - ref) / np.linalg.norm(ref)
         assert err < 0.1
+
+
+class TestFactoredAdamW:
+    """Adafactor-style factored-v AdamW (sow_tpu/optim/factored.py) — the
+    default embed/lm_head optimizer under SoW."""
+
+    def test_exact_on_rank_one_vsq(self):
+        # With a constant gradient, v is rank-1 (outer(vr, vc)/mean(vr)
+        # reconstructs it exactly), so factored == exact AdamW.
+        from sow_tpu.optim.factored import factored_adamw
+
+        g = jnp.outer(
+            jax.random.uniform(KEY, (130,), minval=0.5, maxval=2.0),
+            jax.random.uniform(jax.random.PRNGKey(1), (140,), minval=0.5, maxval=2.0),
+        )
+        params = {"w": jnp.zeros((130, 140))}
+        fac = factored_adamw(lr=1e-2, min_dim=128)
+        ref = optax.adamw(1e-2, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0)
+        sf, sr = fac.init(params), ref.init(params)
+        pf, pr = params, params
+        for _ in range(5):
+            uf, sf = fac.update({"w": g}, sf, pf)
+            pf = apply_updates(pf, uf)
+            ur, sr = ref.update({"w": g}, sr, pr)
+            pr = optax.apply_updates(pr, ur)
+        np.testing.assert_allclose(
+            np.asarray(pf["w"]), np.asarray(pr["w"]), rtol=1e-4, atol=1e-6
+        )
+
+    def test_small_leaves_run_exact_adamw(self):
+        from sow_tpu.optim.factored import factored_adamw
+
+        g = {"w": jax.random.normal(KEY, (16, 24)), "b": jnp.ones((24,))}
+        params = jax.tree_util.tree_map(jnp.zeros_like, g)
+        fac = factored_adamw(lr=1e-2, min_dim=128)  # both leaves below min_dim
+        ref = optax.adamw(1e-2, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0)
+        sf, sr = fac.init(params), ref.init(params)
+        pf, pr = params, params
+        for _ in range(3):
+            uf, sf = fac.update(g, sf, pf)
+            pf = apply_updates(pf, uf)
+            ur, sr = ref.update(g, sr, pr)
+            pr = optax.apply_updates(pr, ur)
+        # eps placement differs from optax (ours matches torch AdamW:
+        # m/(sqrt(v)+eps) vs optax's m/(sqrt(v+eps'))) — tiny-|g| entries
+        # diverge at the 1e-5 level, hence the tolerance.
+        for a, b in zip(jax.tree_util.tree_leaves(pf), jax.tree_util.tree_leaves(pr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6)
+
+    def test_memory_sublinear(self):
+        from sow_tpu.optim.factored import factored_adamw
+        from sow_tpu.utils.memory import optimizer_memory_usage
+
+        params = {"w": jnp.zeros((512, 384), jnp.bfloat16)}
+        st = factored_adamw(min_dim=128).init(params)
+        # m: 512*384 bf16; vr+vc: (512+384) f32 — far below full-v 512*384*4
+        assert optimizer_memory_usage(st) < 512 * 384 * 2 + (512 + 384) * 4 + 64
+
+    def test_converges_noisy_lowrank(self):
+        from sow_tpu.optim.factored import factored_adamw
+
+        key = jax.random.PRNGKey(3)
+        target = jax.random.normal(key, (130, 130))
+        params = {"w": jnp.zeros((130, 130))}
+        fac = factored_adamw(lr=5e-2, min_dim=128)
+        s = fac.init(params)
+        p = params
+        for i in range(200):
+            g = {"w": p["w"] - target + 0.01 * jax.random.normal(jax.random.PRNGKey(i), (130, 130))}
+            u, s = fac.update(g, s, p)
+            p = apply_updates(p, u)
+        err = float(jnp.abs(p["w"] - target).mean())
+        assert err < 0.05

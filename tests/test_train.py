@@ -83,17 +83,28 @@ class TestEndToEnd:
         data = affine_stream(8, 16, trainer.model_cfg.vocab_size, seed=3)
         for _ in range(5):
             trainer.step(jnp.asarray(next(data)["input_ids"]))
-        # embed moments are "regular": nonzero before, preserved after
+        # embed moments live in the routed (factored) optimizer by default:
+        # nonzero before the event, untouched by the SoW reset after.
+        mu_embed_before = np.asarray(trainer.opt_state.routed.mu["embed"]["embedding"])
+        assert np.abs(mu_embed_before).max() > 0
+        trainer.run_accumulation()
+        mu_embed_after = np.asarray(trainer.opt_state.routed.mu["embed"]["embedding"])
+        np.testing.assert_array_equal(mu_embed_before, mu_embed_after)
+        # sow factor moments are zeroed
+        layer_mu = trainer.opt_state.main.mu["layers"]["0"]["attn"]["q_proj"]
+        assert float(jnp.abs(layer_mu.down).max()) == 0.0
+
+    def test_adamw_embed_moments_survive_accumulation(self):
+        # the reference behavior (plain AdamW on embeddings) still works
+        trainer = make_trainer(embed_optimizer="adamw")
+        data = affine_stream(8, 16, trainer.model_cfg.vocab_size, seed=3)
+        for _ in range(5):
+            trainer.step(jnp.asarray(next(data)["input_ids"]))
         mu_embed_before = np.asarray(trainer.opt_state.mu["embed"]["embedding"])
         assert np.abs(mu_embed_before).max() > 0
         trainer.run_accumulation()
         mu_embed_after = np.asarray(trainer.opt_state.mu["embed"]["embedding"])
         np.testing.assert_array_equal(mu_embed_before, mu_embed_after)
-        # sow factor moments are zeroed
-        for _, layer_mu in iter_sow(trainer.opt_state.mu):
-            pass  # opt_state.mu mirrors params; SoW nodes hold zeros for down/up
-        layer_mu = trainer.opt_state.mu["layers"]["0"]["attn"]["q_proj"]
-        assert float(jnp.abs(layer_mu.down).max()) == 0.0
 
     def test_gradient_accumulation_matches_big_batch(self):
         t1 = make_trainer(gradient_accumulation=1, architecture="linear", mesh_data=8, mesh_fsdp=1, mesh_model=1)
@@ -137,7 +148,7 @@ class TestGaloreEmbeddings:
     def test_split_optimizer_trains_and_survives_accumulation(self):
         from sow_tpu.utils.memory import optimizer_memory_usage
 
-        t_plain = make_trainer()
+        t_plain = make_trainer(embed_optimizer="adamw")
         t_gal = make_trainer(galore_embeddings=True, galore_rank=8, update_proj_gap=5)
         # embed/head moments projected -> much smaller optimizer state
         assert optimizer_memory_usage(t_gal.opt_state) < 0.5 * optimizer_memory_usage(
