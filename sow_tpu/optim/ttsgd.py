@@ -47,7 +47,7 @@ def ttsgd(
             ranks = spec_fn(p)
             if ranks is None:
                 return jnp.zeros_like(p)
-            return _tt_zeros_like(p, ranks)
+            return _tt_zeros_like(p, ranks, "uniform")  # qr decompose path
 
         return TTSGDState(
             step=jnp.zeros((), jnp.int32),
