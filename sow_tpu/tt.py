@@ -626,7 +626,7 @@ def _sketch_const(cols: int, rr: int, seed: int):
 
 
 def _rand_basis(
-    l: jax.Array, rr: int, seed: int, power_iters: int = 0, passes: int = 1
+    l: jax.Array, rr: int, seed: int, power_iters: int = 1, passes: int = 2
 ) -> jax.Array:
     """Orthonormal ``(rows, rr)`` basis approximating ``range(l)`` via a
     randomized range-finder (Halko et al. 2011, Alg. 4.4): one sketch matmul
@@ -637,10 +637,17 @@ def _rand_basis(
     ``rank(l) <= rr``; zero input yields a zero basis (graceful for zero
     moments).
 
-    Defaults are tuned for latency (TT-Adam runs this every step): no power
-    iteration and a single CholeskyQR pass — each chol+solve costs ~1ms of
-    dispatch on TPU regardless of the 8x8 Gram size, and the column-normalized
-    Gaussian sketch keeps kappa(Y) small enough for one fp32 pass.
+    Defaults: ONE power iteration and a single CholeskyQR pass. The power
+    iteration is load-bearing, not an accuracy nicety: the sketch is a FIXED
+    Gaussian (trace-time constant), so without it the retained subspace is
+    the same quasi-random one every optimizer step and moment-truncation
+    errors compound in a fixed direction — measured as outright divergence
+    on a plain regression task (loss 1.0 -> 598 over 300 steps; with the
+    power iteration it converges comparably to the exact-QR path). And the
+    power iteration squares kappa(Y),
+    so TWO CholeskyQR passes are needed to keep Q orthonormal in fp32 —
+    one pass after a power iteration measured 0.28 relative error against
+    dense Adam on exactly-TT-representable moments (vs 6e-4 with two).
     """
     rows, cols = l.shape
     omega = _sketch_const(cols, rr, seed)
