@@ -243,7 +243,17 @@ class GlueTrainer:
         self.opt_state = rebuild_state_after_accumulation(old, fresh, self.labels)
 
     def evaluate(self, batches: Iterable[dict]) -> dict[str, float]:
-        fwd = jax.jit(self.forward_fn)
+        if self.mesh is not None:
+            # mesh-aware eval: same param layout as the train step, batch
+            # sharded over data x fsdp — an unsharded jit would replicate
+            # the full model per device just for evaluation.
+            from sow_tpu.parallel.mesh import batch_sharding, params_shardings
+
+            p_sh = params_shardings(self.mesh, self.params)
+            b_sh = batch_sharding(self.mesh)
+            fwd = jax.jit(self.forward_fn, in_shardings=(p_sh, b_sh, b_sh))
+        else:
+            fwd = jax.jit(self.forward_fn)
         preds, refs = [], []
         for b in batches:
             logits = fwd(self.params, b["input_ids"], b["attention_mask"])

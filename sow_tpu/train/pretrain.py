@@ -85,8 +85,12 @@ def _run(args):
             trainer.params, state = restore_params(trainer.params, ckpt)
             trainer.params = trainer._device_put_params(trainer.params)
             trainer._build_optimizer()
-            fresh = trainer.opt.init(trainer.params)
-            trainer.opt_state = restore_opt_state(fresh, ckpt)
+            # jitted + sharded init (same as Trainer.__init__): an unjitted
+            # init would materialize full optimizer state replicated on every
+            # device at exactly the restore-time memory peak.
+            opt_sh = trainer._opt_shardings(trainer.params)
+            fresh = jax.jit(trainer.opt.init, out_shardings=opt_sh)(trainer.params)
+            trainer.opt_state = jax.device_put(restore_opt_state(fresh, ckpt), opt_sh)
             start_step = state["update_step"]
             trainer.update_step = start_step
             trainer.tokens_seen = state.get("tokens_seen", 0)

@@ -179,3 +179,24 @@ class TestMeshFinetune:
             losses.append(trainer.step(batch["input_ids"], batch["attention_mask"], batch["labels"]))
         assert trainer.n_accumulations == 2  # crossed steps 6, 12
         assert np.mean(losses[-4:]) < np.mean(losses[:4]) + 0.2  # trains without blowup
+
+
+@pytest.mark.slow
+class TestMeshEvaluate:
+    def test_evaluate_uses_mesh_shardings(self):
+        # VERDICT r1 item 7: mesh-based finetune evals must not replicate
+        # the model (glue.py evaluate now jits with the mesh shardings).
+        from sow_tpu.parallel.mesh import make_mesh
+        from sow_tpu.train.glue import GlueTrainer, build_roberta_glue_trainer
+
+        model_cfg = rl.ROBERTA_CONFIGS["roberta-test"]
+        cfg = GlueConfig(task="sst2", rank=2, accumulation_steps=100)
+        mesh = make_mesh(2, 2, 2)
+        plain = build_roberta_glue_trainer(cfg, model_cfg=model_cfg)
+        trainer = GlueTrainer(cfg, plain.params, plain.forward_fn, mesh=mesh)
+        batches = list(synthetic_cls_batches(2, 8, 8, model_cfg.vocab_size, model_cfg.pad_token_id))
+        out = trainer.evaluate(batches)
+        assert "accuracy" in out
+        # params stayed sharded through evaluation
+        layer = trainer.params["layers"]["0"]["intermediate"]["dense"]
+        assert not layer.down.sharding.is_fully_replicated
