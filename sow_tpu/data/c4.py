@@ -38,9 +38,11 @@ def c4_batches(
     if split == "train":
         ds = ds.shuffle(seed=seed, buffer_size=shuffle_buffer)
     if process_count > 1:
-        ds = datasets.distributed.split_dataset_by_node(
-            ds, rank=process_index, world_size=process_count
-        )
+        # NOT datasets.distributed.<...> as an attribute — the real library
+        # only exposes it as a submodule import (caught by the fixture tests).
+        from datasets.distributed import split_dataset_by_node
+
+        ds = split_dataset_by_node(ds, rank=process_index, world_size=process_count)
 
     ids_buf, mask_buf = [], []
     for example in ds:
