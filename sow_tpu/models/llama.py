@@ -44,9 +44,12 @@ class LlamaConfig:
     # rematerialize each block's activations in backward (the reference's
     # --activation_checkpointing flag, simple_train.py:67)
     remat: bool = False
-    # "xla" (einsum softmax) or "flash" (Pallas TPU flash-attention kernel;
-    # falls back to xla off-TPU)
-    attention_impl: str = "xla"
+    # "auto" (default): einsum softmax, switching to the Pallas TPU
+    # flash-attention kernel when the XLA path's resident fp32 score tensors
+    # would exceed AUTO_FLASH_BYTES (measured: XLA wins at seq 256, but OOMs
+    # at seq-1024 bs-64 where flash trains fine — PARITY.md "Kernels").
+    # "xla" / "flash" force one path (flash falls back off-TPU/bad shapes).
+    attention_impl: str = "auto"
 
     @property
     def kv_heads(self) -> int:
@@ -150,13 +153,38 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * cos + rot * sin
 
 
-def _flash_ok(cfg: LlamaConfig, t: int) -> bool:
+# Auto-policy budget: estimated bytes of fp32 attention scores resident in
+# backward (all layers' saved scores+probs) above which the flash kernel is
+# selected. 12 GiB ~= the measured envelope on a 16 GiB v5e chip: XLA trains
+# llama-60m at bs-256 seq-256 (8.6 GiB of scores) but OOMs at bs-64 seq-1024
+# (34 GiB); flash extends the envelope at a measured step-time cost only
+# above the threshold.
+AUTO_FLASH_BYTES = 12 * 1024**3
+
+
+def _flash_shapes_ok(cfg: LlamaConfig, t: int) -> bool:
     return (
-        cfg.attention_impl == "flash"
-        and jax.default_backend() == "tpu"
+        jax.default_backend() == "tpu"
         and cfg.head_dim % 8 == 0
         and t % 128 == 0
     )
+
+
+def _score_bytes(cfg: LlamaConfig, b: int, t: int) -> int:
+    """fp32 scores+probs saved for backward across all layers. ``b`` is the
+    trace-time (global) batch, so under a data-sharded mesh this
+    overestimates per-device bytes — conservative: flash turns on earlier,
+    never later, than the true per-device envelope requires."""
+    per_layer = 2 * b * cfg.num_attention_heads * t * t * 4
+    return per_layer * cfg.num_hidden_layers
+
+
+def _flash_ok(cfg: LlamaConfig, b: int, t: int) -> bool:
+    if cfg.attention_impl == "flash":
+        return _flash_shapes_ok(cfg, t)
+    if cfg.attention_impl == "auto":
+        return _flash_shapes_ok(cfg, t) and _score_bytes(cfg, b, t) > AUTO_FLASH_BYTES
+    return False
 
 
 def _attention(
@@ -178,7 +206,7 @@ def _attention(
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
 
-    if _flash_ok(cfg, t):
+    if _flash_ok(cfg, b, t):
         # Pallas flash-attention kernel (jax.experimental.pallas.ops.tpu);
         # padding/document structure is expressed through segment ids.
         from jax.experimental.pallas.ops.tpu.flash_attention import (

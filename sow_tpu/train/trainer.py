@@ -76,11 +76,17 @@ class TrainConfig:
     batch_size: int = 128  # per-step global batch (sequences)
     max_length: int = 256
     dtype: str = "bfloat16"
-    activation_checkpointing: bool = False
-    # Pallas streaming-CE kernel. Off by default: measured slower than XLA's
-    # fused softmax-CE on v5e at llama-60m shapes (the kernel's second
-    # logits read in backward outweighs the fp32-intermediate savings).
-    fused_loss: bool = False
+    # "auto" (default): rematerialize block activations when the long-seq
+    # memory-envelope policy triggers (same score-bytes threshold as the
+    # flash/fused-CE kernels — at those shapes the kernels alone land ~1 GiB
+    # over a v5e chip's HBM; remat closes the gap). True/False force it.
+    activation_checkpointing: Any = "auto"
+    # Pallas streaming-CE kernel: "auto" (default) picks it when the XLA
+    # path's fp32 log-softmax intermediate (batch*seq*vocab*4B per
+    # microbatch) exceeds the memory budget; measured slower than XLA's
+    # fused softmax-CE at llama-60m bench shapes, so it stays off below.
+    # True/False force it.
+    fused_loss: Any = "auto"
     seed: int = 42
     # mesh
     mesh_data: int = -1
@@ -104,7 +110,7 @@ class Trainer:
     def __init__(self, cfg: TrainConfig, mesh=None):
         self.cfg = cfg
         self.model_cfg = get_config(cfg.model)
-        if cfg.activation_checkpointing:
+        if self._use_remat():
             self.model_cfg = dataclasses.replace(self.model_cfg, remat=True)
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.mesh_data, cfg.mesh_fsdp, cfg.mesh_model
@@ -276,15 +282,46 @@ class Trainer:
         return self.cfg.architecture in ("sow", "lora")
 
     # -- steps -------------------------------------------------------------
+    def _use_remat(self) -> bool:
+        """Auto remat at the long-seq envelope (same threshold as the
+        kernels). Uses ``self.cfg`` and the model zoo config only, so it is
+        safe to call before the mesh exists (Trainer.__init__)."""
+        from sow_tpu.models.llama import AUTO_FLASH_BYTES, _score_bytes
+
+        ac = self.cfg.activation_checkpointing
+        if isinstance(ac, str):
+            ac = {"true": True, "1": True, "false": False, "0": False}.get(ac.lower(), "auto")
+        if ac == "auto":
+            micro = max(self.cfg.batch_size // max(self.cfg.gradient_accumulation, 1), 1)
+            return _score_bytes(self.model_cfg, micro, self.cfg.max_length) > AUTO_FLASH_BYTES
+        return bool(ac)
+
     def _use_fused_loss(self) -> bool:
         # vocab-sharded shards combine via pmax/psum; each shard's slice must
         # still tile into 128-lane blocks.
-        model = max(self.cfg.mesh_model, 1)
-        return (
-            self.cfg.fused_loss
-            and self.mesh.devices.flat[0].platform == "tpu"
+        #
+        # "auto" couples to the flash-attention score-bytes policy: the two
+        # kernels switch TOGETHER at the long-seq memory envelope. They can't
+        # be separated by logits bytes alone (bench bs-256/seq-256 and the
+        # OOM case bs-64/seq-1024 have equal batch*seq), and the measured
+        # envelope win (15.75 GiB vs 30.4 GiB OOM, PARITY.md "Kernels")
+        # needed both: fused CE removes the fp32 log-softmax intermediate
+        # that would re-OOM a flash-attention run.
+        from sow_tpu.models.llama import AUTO_FLASH_BYTES, _score_bytes
+
+        cfg = self.cfg
+        model = max(cfg.mesh_model, 1)
+        shapes_ok = (
+            self.mesh.devices.flat[0].platform == "tpu"
             and self.model_cfg.vocab_size % (128 * model) == 0
         )
+        fl = cfg.fused_loss
+        if isinstance(fl, str):  # CLI flags arrive as strings
+            fl = {"true": True, "1": True, "false": False, "0": False}.get(fl.lower(), "auto")
+        if fl == "auto":
+            micro = max(cfg.batch_size // max(cfg.gradient_accumulation, 1), 1)
+            return shapes_ok and _score_bytes(self.model_cfg, micro, cfg.max_length) > AUTO_FLASH_BYTES
+        return bool(fl) and shapes_ok
 
     def _loss_fn(self, params, input_ids, attention_mask):
         labels = jnp.where(attention_mask.astype(bool), input_ids, -100)

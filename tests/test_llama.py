@@ -259,3 +259,47 @@ class TestHFExport:
             ref = model(torch.tensor(ids_np)).logits.numpy()
         ours = np.asarray(forward(sow_params, jnp.asarray(ids_np), CFG))
         np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=5e-4)
+
+
+class TestAutoKernelPolicy:
+    """VERDICT r1 item 6: flash attention + fused CE auto-enable when the
+    XLA path's estimated activation bytes exceed the memory budget."""
+
+    def test_flash_policy_by_score_bytes(self):
+        from sow_tpu.models.llama import AUTO_FLASH_BYTES, _score_bytes
+
+        cfg = get_config("llama_60m")
+        # the measured envelope: bench shapes stay XLA, long-seq flips flash
+        assert _score_bytes(cfg, b=256, t=256) <= AUTO_FLASH_BYTES
+        assert _score_bytes(cfg, b=64, t=1024) > AUTO_FLASH_BYTES
+
+    def test_flash_auto_respects_backend_and_shapes(self):
+        from sow_tpu.models.llama import _flash_ok
+
+        cfg = get_config("llama_60m")  # attention_impl defaults to "auto"
+        assert cfg.attention_impl == "auto"
+        if jax.default_backend() != "tpu":
+            assert not _flash_ok(cfg, 64, 1024)  # never off-TPU
+        # odd sequence length: shapes gate wins regardless of size
+        assert not _flash_ok(cfg, 64, 1000)
+
+    def test_fused_ce_policy(self):
+        from sow_tpu.train.trainer import TrainConfig, Trainer
+
+        t = Trainer(TrainConfig(model="llama_test", architecture="linear",
+                                batch_size=8, max_length=16, dtype="float32",
+                                mesh_data=-1, mesh_fsdp=1, mesh_model=1))
+        # tiny shapes: auto stays off everywhere (and off-TPU shapes_ok=False)
+        assert t._use_fused_loss() is False
+        # forced False string from CLI
+        t.cfg.fused_loss = "false"
+        assert t._use_fused_loss() is False
+
+    def test_fused_ce_auto_couples_to_flash_policy(self):
+        # same score-bytes threshold governs both kernels: bench shapes stay
+        # on XLA CE, the long-seq envelope flips both (see _use_fused_loss).
+        from sow_tpu.models.llama import AUTO_FLASH_BYTES, _score_bytes
+
+        cfg = get_config("llama_60m")
+        assert _score_bytes(cfg, 256, 256) <= AUTO_FLASH_BYTES   # bench: XLA CE
+        assert _score_bytes(cfg, 64, 1024) > AUTO_FLASH_BYTES    # envelope: fused
