@@ -189,7 +189,7 @@ def _flash_ok(cfg: LlamaConfig, b: int, t: int) -> bool:
 
 def _attention(
     layer_p: dict, x: jax.Array, cfg: LlamaConfig, cos, sin, mask,
-    attn_segment_ids=None,
+    attn_segment_ids=None, prefix=None,
 ) -> jax.Array:
     b, t, h = x.shape
     nh, kvh, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
@@ -206,7 +206,29 @@ def _attention(
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
 
-    if _flash_ok(cfg, b, t):
+    if prefix is not None:
+        # Prefix tuning (ref finetune.py:286-291 via peft): learned post-RoPE
+        # KV vectors prepended on the key axis; every query may attend to
+        # them. Forces the einsum path (the flash kernel assumes square
+        # causal structure).
+        nv = prefix["k"].shape[0]
+        pk = jnp.broadcast_to(
+            prefix["k"].astype(k.dtype).transpose(1, 0, 2)[None], (b, kvh, nv, hd)
+        )
+        pv = jnp.broadcast_to(
+            prefix["v"].astype(v.dtype).transpose(1, 0, 2)[None], (b, kvh, nv, hd)
+        )
+        if kvh != nh:
+            rep = nh // kvh
+            pk = jnp.repeat(pk, rep, axis=1)
+            pv = jnp.repeat(pv, rep, axis=1)
+        k = jnp.concatenate([pk, k], axis=2)
+        v = jnp.concatenate([pv, v], axis=2)
+        mask = jnp.concatenate(
+            [jnp.ones(mask.shape[:-1] + (nv,), bool), mask], axis=-1
+        )
+
+    if prefix is None and _flash_ok(cfg, b, t):
         # Pallas flash-attention kernel (jax.experimental.pallas.ops.tpu);
         # padding/document structure is expressed through segment ids.
         from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -263,8 +285,13 @@ def forward(
         same_seg = segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
         mask = mask & same_seg & (segment_ids != 0)[:, None, None, :]
 
-    def block(x, lp):
-        x = x + _attention(lp["attn"], rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps), cfg, cos, sin, mask)
+    prefix = params.get("prefix")  # prefix-tuning subtree (nn/prefix.py)
+
+    def block(x, lp, pfx):
+        x = x + _attention(
+            lp["attn"], rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps),
+            cfg, cos, sin, mask, prefix=pfx,
+        )
         x = x + _mlp(lp["mlp"], rms_norm(x, lp["post_norm"]["scale"], cfg.rms_norm_eps))
         return x
 
@@ -272,7 +299,8 @@ def forward(
         block = jax.checkpoint(block)
 
     for i in range(cfg.num_hidden_layers):
-        x = block(x, params["layers"][str(i)])
+        pfx = None if prefix is None else prefix["layers"][str(i)]
+        x = block(x, params["layers"][str(i)], pfx)
 
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:

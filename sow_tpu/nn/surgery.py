@@ -47,6 +47,10 @@ class SoWConfig:
     decompose: Optional[str] = "keep"
     dtype: Any = jnp.float32
     grow_rank: bool = False
+    # Zero the up factors at surgery time so the rewritten model's output is
+    # initially identical to the base (peft-LoRA's B=0 convention; the
+    # reference only zeroes B at post-accumulation resets, sow.py:157-178).
+    zero_up: bool = False
 
 
 def _is_linear(subtree) -> bool:
@@ -108,7 +112,8 @@ def sow_from_kernel(
         )
 
     down, up = SoWLinear.init_factors(
-        key, d_in, d_out, rank, n_iter, config.init_method, config.dtype
+        key, d_in, d_out, rank, n_iter, config.init_method, config.dtype,
+        zero_up=config.zero_up,
     )
     if config.decompose == "keep":
         acc_down = kernel.astype(config.dtype)  # frozen verbatim, prepare.py:148-153

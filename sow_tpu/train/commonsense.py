@@ -91,6 +91,13 @@ class CommonsenseConfig:
     mode: str = "keep"
     seed: int = 42
     dtype: str = "float32"
+    # Adapter choice (ref finetune.py:264-291): "sow" (default), "lora"
+    # (peft-style frozen-base LoRA: W + alpha/r * A@B, B zero-init, no
+    # accumulation events), "prefix-tuning" (trainable per-layer KV
+    # prefixes, no weight surgery at all).
+    adapter: str = "sow"
+    lora_alpha: float = 16.0
+    num_virtual_tokens: int = 30
 
 
 def build_commonsense_trainer(
@@ -108,15 +115,36 @@ def build_commonsense_trainer(
         key, sub = jax.random.split(key)
         params = llama_lib.init_params(sub, model_cfg)
 
-    sow_cfg = SoWConfig(
-        target_modules=llama_lib.LLAMA_FINETUNE_TARGET_MODULES,
-        rank=cfg.rank,
-        n_iter=cfg.n_iter,
-        decompose=cfg.mode,
-        dtype=jnp.float32 if cfg.dtype == "float32" else jnp.bfloat16,
-    )
-    key, sub = jax.random.split(key)
-    params = prepare_sow(params, sow_cfg, sub)
+    dtype = jnp.float32 if cfg.dtype == "float32" else jnp.bfloat16
+    accumulation_steps = cfg.accumulation_steps
+    if cfg.adapter == "prefix-tuning":
+        # no weight surgery; trainable per-layer KV prefixes (finetune.py:286-291)
+        from sow_tpu.nn.prefix import add_prefix_tuning
+
+        key, sub = jax.random.split(key)
+        params = add_prefix_tuning(
+            params, model_cfg, cfg.num_virtual_tokens, sub, dtype=dtype
+        )
+        accumulation_steps = 0
+    elif cfg.adapter in ("sow", "lora"):
+        lora = cfg.adapter == "lora"
+        sow_cfg = SoWConfig(
+            target_modules=llama_lib.LLAMA_FINETUNE_TARGET_MODULES,
+            rank=cfg.rank,
+            n_iter=cfg.n_iter,
+            decompose=cfg.mode,
+            # peft LoRA: y = x@W + (alpha/r) x@A@B with B=0 at init and no
+            # accumulation — the SoW layer degenerates to exactly that.
+            scale=(cfg.lora_alpha / cfg.rank) if lora else 1.0,
+            zero_up=lora,
+            dtype=dtype,
+        )
+        key, sub = jax.random.split(key)
+        params = prepare_sow(params, sow_cfg, sub)
+        if lora:
+            accumulation_steps = 0
+    else:
+        raise ValueError(f"unknown adapter {cfg.adapter!r}")
 
     def forward_fn(p, ids, mask):
         return llama_lib.forward(p, ids, model_cfg, mask)
@@ -131,7 +159,7 @@ def build_commonsense_trainer(
         rank=cfg.rank,
         n_iter=cfg.n_iter,
         mode=cfg.mode,
-        accumulation_steps=cfg.accumulation_steps,
+        accumulation_steps=accumulation_steps,
         num_training_steps=cfg.num_training_steps,
         seed=cfg.seed,
         freeze_base=True,
@@ -173,9 +201,9 @@ def main(argv=None):
         params = llama_lib.params_from_hf_state_dict(hf.state_dict(), model_cfg)
     trainer = build_commonsense_trainer(cfg, model_cfg, params=params)
 
-    from transformers import AutoTokenizer
+    from sow_tpu.data.byte_tokenizer import load_tokenizer_or_byte
 
-    tok = AutoTokenizer.from_pretrained(args.tokenizer or args.hf_checkpoint or "t5-base")
+    tok = load_tokenizer_or_byte(args.tokenizer or args.hf_checkpoint)
     if tok.pad_token_id is None:
         tok.pad_token = tok.eos_token
 

@@ -110,6 +110,8 @@ def finetune_labels(params: Any, freeze_base: bool = True) -> Any:
         if label != "regular":
             return label
         path = jax.tree_util.keystr(path_entries)
+        if "prefix" in path:  # prefix-tuning adapters train at sow_lr
+            return "sow"
         in_head = "classifier" in path
         if freeze_base and not in_head:
             return "frozen"

@@ -140,3 +140,94 @@ class TestEvalHarness:
         assert out["n"] == 5
         assert 0.0 <= out["accuracy"] <= 1.0
         assert len(out["outputs"]) == 5
+
+
+@pytest.mark.slow
+class TestAdapters:
+    """Adapter parity (ref finetune.py:264-291): peft-style LoRA and
+    prefix-tuning options next to SoW."""
+
+    def _train(self, adapter, steps=40, **kw):
+        model_cfg = get_config("llama_test")
+        cfg = CommonsenseConfig(
+            adapter=adapter, rank=4, learning_rate=1e-2, sow_lr=1e-2,
+            accumulation_steps=10, cutoff_len=16, batch_size=8,
+            num_training_steps=200, **kw,
+        )
+        trainer = build_commonsense_trainer(cfg, model_cfg)
+        rng = np.random.default_rng(0)
+        # fixed batch: with only a rank-4 adapter / tiny prefixes on a frozen
+        # random base, overfitting one batch is the signal that gradients
+        # reach the adapter params
+        ids = rng.integers(2, model_cfg.vocab_size, (8, 16))
+        losses = []
+        for _ in range(steps):
+            losses.append(trainer.step(
+                jnp.asarray(ids), jnp.asarray(np.ones_like(ids)), jnp.asarray(ids)
+            ))
+        return trainer, losses
+
+    def test_lora_trains_frozen_base(self):
+        trainer, losses = self._train("lora", lora_alpha=8.0)
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+        # no accumulation events for LoRA (frozen random base stays fixed)
+        assert trainer.n_accumulations == 0
+        # base weights frozen: acc_down label "frozen"
+        from sow_tpu.nn import iter_sow
+        for _, layer in iter_sow(trainer.params):
+            assert layer.acc_down is not None  # keep-mode base present
+            break
+
+    def test_lora_starts_at_base_output(self):
+        # B=0 init: the adapted model's logits equal the base model's.
+        from sow_tpu.models import forward, init_params
+        from sow_tpu.nn import SoWConfig, prepare_sow
+        from sow_tpu.models.llama import LLAMA_FINETUNE_TARGET_MODULES
+
+        model_cfg = get_config("llama_test")
+        base = init_params(jax.random.PRNGKey(0), model_cfg)
+        ids = jnp.asarray(np.random.default_rng(1).integers(0, model_cfg.vocab_size, (2, 12)))
+        ref = forward(base, ids, model_cfg)
+        lora_params = prepare_sow(
+            base,
+            SoWConfig(target_modules=LLAMA_FINETUNE_TARGET_MODULES, rank=4,
+                      decompose="keep", scale=2.0, zero_up=True),
+            jax.random.PRNGKey(2),
+        )
+        out = forward(lora_params, ids, model_cfg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_prefix_tuning_trains_only_prefixes(self):
+        trainer, losses = self._train("prefix-tuning", num_virtual_tokens=8)
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+        assert "prefix" in trainer.params
+        # ONLY prefix params moved
+        from sow_tpu.train.glue import finetune_labels
+        labels = finetune_labels(trainer.params, freeze_base=True)
+        flat_l = jax.tree_util.tree_leaves(labels)
+        flat_p = jax.tree_util.tree_leaves(trainer.params)
+        trainable = [l for l in flat_l if l in ("sow",)]
+        assert trainable  # prefix group exists
+        # embed stayed exactly frozen
+        fresh = build_commonsense_trainer(
+            CommonsenseConfig(adapter="prefix-tuning", rank=4, num_virtual_tokens=8,
+                              cutoff_len=16, batch_size=8),
+            get_config("llama_test"),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(trainer.params["embed"]["embedding"]),
+            np.asarray(fresh.params["embed"]["embedding"]),
+        )
+
+    def test_prefix_changes_logits(self):
+        from sow_tpu.models import forward, init_params
+        from sow_tpu.nn.prefix import add_prefix_tuning
+
+        model_cfg = get_config("llama_test")
+        base = init_params(jax.random.PRNGKey(0), model_cfg)
+        ids = jnp.asarray(np.random.default_rng(3).integers(0, model_cfg.vocab_size, (2, 12)))
+        ref = np.asarray(forward(base, ids, model_cfg))
+        withp = add_prefix_tuning(base, model_cfg, 8, jax.random.PRNGKey(4))
+        out = np.asarray(forward(withp, ids, model_cfg))
+        assert np.abs(out - ref).max() > 1e-4  # prefixes participate
+        assert out.shape == ref.shape  # and don't consume input positions
