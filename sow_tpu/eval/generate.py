@@ -150,9 +150,18 @@ def beam_generate(
             finished = finished | (tok_idx == eos_token_id)
 
         flat_idx = (jnp.arange(b)[:, None] * k + beam_idx).reshape(b * k)
-        cache = [
-            {"k": c["k"][flat_idx], "v": c["v"][flat_idx]} for c in cache
-        ]
+
+        def reorder(c):
+            # Only the GENERATED suffix differs between beams: the prompt
+            # region [0, t0) is written once at prefill, identically for all
+            # beams of a batch item, and beam permutations stay within the
+            # item — so gathering it is a no-op. Reordering just the
+            # [t0, t0+max_new) slice cuts the per-step copy by
+            # t0/max_new (~8x at the eval shapes; the full-cache gather was
+            # the round-1 review's beam-decode bottleneck).
+            return c.at[:, t0:].set(c[:, t0:][flat_idx])
+
+        cache = [{"k": reorder(c["k"]), "v": reorder(c["v"])} for c in cache]
         pos_next = pos_next[flat_idx] + 1
         return (cache, tokens, new_scores, finished, pos_next), None
 
