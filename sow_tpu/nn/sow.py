@@ -191,10 +191,16 @@ class SoWLinear:
         ``sow.py:107-126``), with a reassociated custom backward that never
         materializes the K x N weight gradient (see
         ``sow_tpu.ops.sow_matmul``)."""
+        from sow_tpu.nn.quant import QuantizedTensor
         from sow_tpu.ops.sow_matmul import sow_linear
 
+        acc_down = self.acc_down
+        if isinstance(acc_down, QuantizedTensor):
+            # int8 frozen base (nn/quant.py): dequantize transiently — XLA
+            # keeps the bf16 copy fusion-local, HBM holds the int8 bytes.
+            acc_down = jax.lax.stop_gradient(acc_down.dequantize(self.dtype))
         return sow_linear(
-            x, self.down, self.up, self.acc_down, self.acc_up, self.bias, self.scale
+            x, self.down, self.up, acc_down, self.acc_up, self.bias, self.scale
         )
 
     def call_folded(self, x: jax.Array) -> jax.Array:
@@ -223,12 +229,19 @@ class SoWLinear:
         elif self.acc_down is not None:
             acc = acc + self.acc_down.astype(jnp.float32)
 
+        from sow_tpu.nn.quant import QuantizedTensor, quantize_int8
+
         if self.virtual_rank < min(d_in, d_out):
             q, r = qr_weight(acc, self.virtual_rank)
             acc_down, acc_up = q.astype(self.dtype), r.astype(self.dtype)
             new_vr = min(self.virtual_rank + self.rank * self.n_iter, d_in, d_out)
         else:
-            acc_down, acc_up = acc.astype(self.dtype), None
+            # preserve an int8 base's storage format across accumulations
+            if isinstance(self.acc_down, QuantizedTensor):
+                acc_down = quantize_int8(acc, axis=self.acc_down.axis)
+            else:
+                acc_down = acc.astype(self.dtype)
+            acc_up = None
             new_vr = self.virtual_rank
 
         down, up = SoWLinear.init_factors(

@@ -51,6 +51,10 @@ class SoWConfig:
     # initially identical to the base (peft-LoRA's B=0 convention; the
     # reference only zeroes B at post-accumulation resets, sow.py:157-178).
     zero_up: bool = False
+    # Store the frozen keep-mode base as per-channel int8 (nn/quant.py) —
+    # the TPU equivalent of the reference's 8-bit base loading
+    # (run_glue.py:523-532). Only valid with decompose="keep".
+    quantize_base: bool = False
 
 
 def _is_linear(subtree) -> bool:
@@ -116,8 +120,15 @@ def sow_from_kernel(
         zero_up=config.zero_up,
     )
     if config.decompose == "keep":
-        acc_down = kernel.astype(config.dtype)  # frozen verbatim, prepare.py:148-153
+        if config.quantize_base:
+            from sow_tpu.nn.quant import quantize_int8
+
+            acc_down = quantize_int8(kernel)  # int8 frozen base
+        else:
+            acc_down = kernel.astype(config.dtype)  # frozen verbatim, prepare.py:148-153
     elif config.decompose is None:
+        if config.quantize_base:
+            raise ValueError("quantize_base requires decompose='keep'")
         acc_down = None
     else:
         raise ValueError(f"unknown decompose mode {config.decompose!r}")
@@ -233,11 +244,14 @@ def param_labels(params) -> Any:
     """
 
     def label_layer(_, layer: SoWLinear):
+        frz = lambda x: None if x is None else jax.tree_util.tree_map(lambda _: "frozen", x)
         return SoWLinear(
             down="sow",
             up="sow",
-            acc_down=None if layer.acc_down is None else "frozen",
-            acc_up=None if layer.acc_up is None else "frozen",
+            # tree_map handles both plain arrays (one leaf) and quantized
+            # bases (values+scale leaves) — labels must match structurally.
+            acc_down=frz(layer.acc_down),
+            acc_up=frz(layer.acc_up),
             bias=None if layer.bias is None else "regular",
             scale="frozen",
             rank=layer.rank,

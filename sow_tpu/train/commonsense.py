@@ -98,6 +98,9 @@ class CommonsenseConfig:
     adapter: str = "sow"
     lora_alpha: float = 16.0
     num_virtual_tokens: int = 30
+    # int8 frozen base (keep mode) — the 8-bit base-model option
+    # (ref finetune.py:196-199); see nn/quant.py
+    quantize_base: bool = False
 
 
 def build_commonsense_trainer(
@@ -137,6 +140,7 @@ def build_commonsense_trainer(
             # accumulation — the SoW layer degenerates to exactly that.
             scale=(cfg.lora_alpha / cfg.rank) if lora else 1.0,
             zero_up=lora,
+            quantize_base=cfg.quantize_base,
             dtype=dtype,
         )
         key, sub = jax.random.split(key)
@@ -181,7 +185,11 @@ def main(argv=None):
 
     p = argparse.ArgumentParser()
     for f in dc.fields(CommonsenseConfig):
-        p.add_argument(f"--{f.name.replace('_', '-')}", type=type(f.default), default=f.default)
+        flag = f"--{f.name.replace('_', '-')}"
+        if isinstance(f.default, bool):
+            p.add_argument(flag, action="store_true", default=f.default)
+        else:
+            p.add_argument(flag, type=type(f.default), default=f.default)
     p.add_argument("--base-model", type=str, default="llama_7b")
     p.add_argument("--hf-checkpoint", type=str, default=None,
                    help="HF llama dir/name to load pretrained weights from")

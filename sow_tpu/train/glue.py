@@ -92,6 +92,7 @@ class GlueConfig:
     rank: int = 8
     n_iter: int = 1
     mode: str = "keep"  # decompose mode for surgery
+    quantize_base: bool = False  # int8 frozen base (ref run_glue.py:523-532)
     accumulation_steps: int = 1000  # SoW accumulate cadence (update steps)
     num_training_steps: int = 10_000  # for the linear schedule
     warmup_ratio: float = 0.0
@@ -186,7 +187,9 @@ class GlueTrainer:
                 logits = self.forward_fn(p, input_ids, attention_mask)
                 return self.loss_fn(logits, labels)
 
-            loss, grads = jax.value_and_grad(loss_of)(params)
+            # allow_int: quantized int8 bases are frozen leaves (their
+            # grads come back as float0 and the frozen group ignores them)
+            loss, grads = jax.value_and_grad(loss_of, allow_int=True)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             return apply_updates(params, updates), opt_state, loss
 
@@ -337,6 +340,7 @@ def build_llama_glue_trainer(
     params["classifier"] = llama_lib.init_classifier_head(sub, model_cfg, num_labels)
 
     sow_cfg = SoWConfig(
+        quantize_base=cfg.quantize_base,
         target_modules=llama_lib.LLAMA_TARGET_MODULES,
         rank=cfg.rank,
         n_iter=cfg.n_iter,
@@ -415,6 +419,7 @@ def build_roberta_glue_trainer(
         params = roberta_lib.init_params(key, model_cfg)
 
     sow_cfg = SoWConfig(
+        quantize_base=cfg.quantize_base,
         target_modules=roberta_lib.ROBERTA_TARGET_MODULES,
         rank=cfg.rank,
         n_iter=cfg.n_iter,
