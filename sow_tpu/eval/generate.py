@@ -158,8 +158,9 @@ def beam_generate(
             # item — so gathering it is a no-op. Reordering just the
             # [t0, t0+max_new) slice cuts the per-step copy by
             # t0/max_new (~8x at the eval shapes; the full-cache gather was
-            # the round-1 review's beam-decode bottleneck).
-            return c.at[:, t0:].set(c[:, t0:][flat_idx])
+            # the round-1 review's beam-decode bottleneck). Position is
+            # axis 2 of the (B*k, kv_heads, max_len, head_dim) cache.
+            return c.at[:, :, t0:].set(c[:, :, t0:][flat_idx])
 
         cache = [{"k": reorder(c["k"]), "v": reorder(c["v"])} for c in cache]
         pos_next = pos_next[flat_idx] + 1

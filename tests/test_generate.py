@@ -88,3 +88,46 @@ class TestBeam:
             PARAMS, jnp.asarray(ids), jnp.asarray(mask), CFG, max_new_tokens=4, num_beams=3
         )
         assert out.shape == (2, 4)
+
+    def test_matches_no_cache_beam_oracle(self):
+        """Cached beam search == naive beam search with full recompute.
+
+        Regression guard for the cache-reorder axis: the suffix-only reorder
+        must gather the POSITION axis (axis 2) of the (B*k, kv_heads,
+        max_len, head_dim) cache. An axis-1 gather silently becomes a no-op
+        once prompt_len >= kv_heads, leaving beams attending to other beams'
+        K/V — only divergent-beam decodes at depth > 1 expose it, which the
+        property tests above never did."""
+        ids = jax.random.randint(jax.random.PRNGKey(7), (2, 8), 0, CFG.vocab_size)
+        mask = jnp.ones_like(ids)
+        assert ids.shape[1] >= CFG.kv_heads  # the regime that hid the bug
+        k, steps = 4, 8
+        got = beam_generate(PARAMS, ids, mask, CFG, max_new_tokens=steps, num_beams=k)
+        want = _oracle_beam(PARAMS, np.asarray(ids), k, steps)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def _oracle_beam(params, ids, k, steps):
+    """Beam search with NO cache: full forward over every candidate prefix."""
+    b, t0 = ids.shape
+    seqs = np.broadcast_to(ids[:, None], (b, k, t0)).copy()
+    scores = None
+    for _ in range(steps):
+        logits = forward(params, jnp.asarray(seqs.reshape(b * k, -1)), CFG)
+        logp = np.asarray(
+            jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+        ).reshape(b, k, -1)
+        vocab = logp.shape[-1]
+        if scores is None:  # first expansion: beams identical, expand beam 0
+            idx = np.argsort(-logp[:, 0], axis=1)[:, :k]
+            scores = np.take_along_axis(logp[:, 0], idx, 1)
+            beam_idx, tok_idx = np.zeros((b, k), int), idx
+        else:
+            flat = (scores[..., None] + logp).reshape(b, k * vocab)
+            idx = np.argsort(-flat, axis=1)[:, :k]
+            scores = np.take_along_axis(flat, idx, 1)
+            beam_idx, tok_idx = idx // vocab, idx % vocab
+        seqs = np.take_along_axis(seqs, beam_idx[..., None], 1)
+        seqs = np.concatenate([seqs, tok_idx[..., None]], axis=2)
+    best = np.argmax(scores, axis=1)
+    return seqs[np.arange(b), best][:, t0:]
