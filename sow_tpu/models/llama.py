@@ -50,6 +50,13 @@ class LlamaConfig:
     # at seq-1024 bs-64 where flash trains fine — PARITY.md "Kernels").
     # "xla" / "flash" force one path (flash falls back off-TPU/bad shapes).
     attention_impl: str = "auto"
+    # Context parallelism: activations sharded over the mesh's "seq" axis
+    # (parallel/mesh.py). Each attention all-gathers K/V over that axis
+    # (Megatron-CP style: queries stay sharded, keys are global) — XLA GSPMD
+    # inserts the all-gather from the sharding constraints below. Requires
+    # tracing under ``jax.set_mesh`` (Trainer does this) and forces the
+    # einsum attention path (the Pallas flash kernel is per-device).
+    seq_shard: bool = False
 
     @property
     def kv_heads(self) -> int:
@@ -153,6 +160,17 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * cos + rot * sin
 
 
+def _cp_constrain(x: jax.Array, spec_entries: tuple) -> jax.Array:
+    """Pin selected axes of ``x``'s sharding (context parallelism). Entries:
+    "seq" = shard over the mesh seq axis, None = replicated, "unc" = leave
+    to GSPMD propagation. Must run under an active mesh (``jax.set_mesh``)."""
+    from jax.sharding import PartitionSpec
+
+    unc = PartitionSpec.UNCONSTRAINED
+    spec = PartitionSpec(*(unc if e == "unc" else e for e in spec_entries))
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 def grouped_attention(
     q: jax.Array,  # (b, nh, t, hd)
     k: jax.Array,  # (b, kvh, s, hd) — q.dtype, or int8 cache values
@@ -221,6 +239,8 @@ def _score_bytes(cfg: LlamaConfig, b: int, t: int) -> int:
 
 
 def _flash_ok(cfg: LlamaConfig, b: int, t: int) -> bool:
+    if cfg.seq_shard:
+        return False  # CP needs the einsum path (kernel is per-device)
     if cfg.attention_impl == "flash":
         return _flash_shapes_ok(cfg, t)
     if cfg.attention_impl == "auto":
@@ -241,6 +261,15 @@ def _attention(
 
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+
+    if cfg.seq_shard:
+        # Megatron-style context parallelism: queries stay sequence-sharded,
+        # K/V become global — pinning their position axis (2) to replicated
+        # makes GSPMD insert one K/V all-gather over the "seq" axis per
+        # layer (cheap: K/V are kv_heads*head_dim wide). Scores/probs then
+        # stay sharded on the query axis; softmax is local.
+        k = _cp_constrain(k, ("unc", "unc", None, "unc"))
+        v = _cp_constrain(v, ("unc", "unc", None, "unc"))
 
     if prefix is not None:
         # Prefix tuning (ref finetune.py:286-291 via peft): learned post-RoPE
@@ -306,6 +335,11 @@ def forward(
     """
     b, t = input_ids.shape
     x = params["embed"]["embedding"][input_ids]
+    if cfg.seq_shard:
+        # Anchor the activation layout: tokens sharded over the "seq" mesh
+        # axis end to end (embed -> blocks -> loss); batch/hidden left to
+        # GSPMD propagation.
+        x = _cp_constrain(x, ("unc", "seq", "unc"))
 
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))

@@ -10,6 +10,9 @@ SPMD over a ``jax.sharding.Mesh``:
                 second batch axis: batch shards across data x fsdp.
   * ``model`` — tensor parallelism over the projections' output axes
                 (beyond reference scope; free on TPU via GSPMD).
+  * ``seq``   — context parallelism: activations shard over the sequence
+                axis (long-context training; K/V all-gather per layer, see
+                ``models/llama.py`` ``seq_shard``).
 
 Shardings are assigned by param-path rules; XLA GSPMD inserts all
 collectives (psum / all-gather / reduce-scatter) — no hand-written comm.
@@ -23,24 +26,26 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-MESH_AXES = ("data", "fsdp", "model")
+MESH_AXES = ("data", "fsdp", "model", "seq")
 
 
 def make_mesh(
-    data: int = -1, fsdp: int = 1, model: int = 1, devices=None
+    data: int = -1, fsdp: int = 1, model: int = 1, seq: int = 1, devices=None
 ) -> Mesh:
-    """Build a ``(data, fsdp, model)`` mesh. ``data=-1`` absorbs remaining
-    devices. Works identically on real TPU slices and on
+    """Build a ``(data, fsdp, model, seq)`` mesh. ``data=-1`` absorbs
+    remaining devices. Works identically on real TPU slices and on
     ``--xla_force_host_platform_device_count`` virtual CPU devices."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        if n % (fsdp * model) != 0:
-            raise ValueError(f"{n} devices not divisible by fsdp*model={fsdp * model}")
-        data = n // (fsdp * model)
-    if data * fsdp * model != n:
-        raise ValueError(f"mesh {data}x{fsdp}x{model} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, fsdp, model)
+        if n % (fsdp * model * seq) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by fsdp*model*seq={fsdp * model * seq}"
+            )
+        data = n // (fsdp * model * seq)
+    if data * fsdp * model * seq != n:
+        raise ValueError(f"mesh {data}x{fsdp}x{model}x{seq} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, fsdp, model, seq)
     return Mesh(dev_array, MESH_AXES)
 
 
@@ -99,8 +104,17 @@ def params_shardings(mesh: Mesh, params: Any) -> Any:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch sharded over data x fsdp (leading axis)."""
+    """Batch sharded over data x fsdp (leading axis); rank-agnostic —
+    remaining axes replicated."""
     return NamedSharding(mesh, P(("data", "fsdp")))
+
+
+def token_sharding(mesh: Mesh) -> NamedSharding:
+    """(batch, seq) token arrays: batch over data x fsdp, positions over
+    ``seq`` (context parallelism). With ``seq == 1`` this equals
+    ``batch_sharding``; with CP the token axis must divide by the seq axis
+    size."""
+    return NamedSharding(mesh, P(("data", "fsdp"), "seq"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

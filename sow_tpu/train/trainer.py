@@ -28,6 +28,7 @@ from sow_tpu.parallel.mesh import (
     make_mesh,
     opt_state_shardings,
     params_shardings,
+    token_sharding,
     replicated,
 )
 
@@ -92,6 +93,10 @@ class TrainConfig:
     mesh_data: int = -1
     mesh_fsdp: int = 1
     mesh_model: int = 1
+    # Context parallelism: shard the token axis over this many devices
+    # (long-context training; see models/llama.py ``seq_shard``).
+    # max_length must divide by it.
+    mesh_seq: int = 1
 
 
 def _dtype(name: str):
@@ -113,8 +118,11 @@ class Trainer:
         if self._use_remat():
             self.model_cfg = dataclasses.replace(self.model_cfg, remat=True)
         self.mesh = mesh if mesh is not None else make_mesh(
-            cfg.mesh_data, cfg.mesh_fsdp, cfg.mesh_model
+            cfg.mesh_data, cfg.mesh_fsdp, cfg.mesh_model, cfg.mesh_seq
         )
+        if self.mesh.shape.get("seq", 1) > 1:
+            # context parallelism: activations shard over the seq axis
+            self.model_cfg = dataclasses.replace(self.model_cfg, seq_shard=True)
         self.dtype = _dtype(cfg.dtype)
 
         key = jax.random.PRNGKey(cfg.seed)
@@ -167,7 +175,7 @@ class Trainer:
         key = tuple(shape)
         if key not in self._mask_cache:
             self._mask_cache[key] = jax.device_put(
-                jnp.ones(shape, jnp.int32), batch_sharding(self.mesh)
+                jnp.ones(shape, jnp.int32), token_sharding(self.mesh)
             )
         return self._mask_cache[key]
 
@@ -314,6 +322,10 @@ class Trainer:
         shapes_ok = (
             self.mesh.devices.flat[0].platform == "tpu"
             and self.model_cfg.vocab_size % (128 * model) == 0
+            # CP keeps logits sequence-sharded; the shard_map CE kernel's
+            # batch-axis specs don't cover a sharded token axis — XLA's own
+            # fused CE handles it.
+            and self.mesh.shape.get("seq", 1) == 1
         )
         fl = cfg.fused_loss
         if isinstance(fl, str):  # CLI flags arrive as strings
@@ -378,7 +390,7 @@ class Trainer:
 
         p_sh = params_shardings(self.mesh, self.params)
         o_sh = self._opt_shardings(self.params)
-        b_sh = batch_sharding(self.mesh)
+        b_sh = token_sharding(self.mesh)
         rep = replicated(self.mesh)
         return jax.jit(
             train_step,
@@ -403,9 +415,12 @@ class Trainer:
         if attention_mask is None:
             attention_mask = self._ones_mask(input_ids.shape)
         fn = self._train_step_fn()
-        self.params, self.opt_state, metrics = fn(
-            self.params, self.opt_state, input_ids, attention_mask
-        )
+        with jax.set_mesh(self.mesh):
+            # active mesh lets forward's bare-PartitionSpec sharding
+            # constraints (context parallelism) resolve at trace time
+            self.params, self.opt_state, metrics = fn(
+                self.params, self.opt_state, input_ids, attention_mask
+            )
         self.update_step += 1
         self._tokens_dev = (
             metrics["ntok"] if self._tokens_dev is None else self._tokens_dev + metrics["ntok"]
@@ -463,7 +478,7 @@ class Trainer:
             return loss, ntok
 
         p_sh = params_shardings(self.mesh, self.params)
-        b_sh = batch_sharding(self.mesh)
+        b_sh = token_sharding(self.mesh)
         rep = replicated(self.mesh)
         return jax.jit(
             eval_step, in_shardings=(p_sh, b_sh, b_sh), out_shardings=(rep, rep)
@@ -479,7 +494,8 @@ class Trainer:
             ids, mask = batch["input_ids"], batch.get("attention_mask")
             if mask is None:
                 mask = jnp.ones_like(ids)
-            loss, ntok = fn(self.params, ids, mask)
+            with jax.set_mesh(self.mesh):
+                loss, ntok = fn(self.params, ids, mask)
             total_loss += float(loss) * int(ntok)
             total_tok += int(ntok)
             n += 1
