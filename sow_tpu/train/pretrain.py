@@ -73,7 +73,13 @@ def _run(args):
     cfg_kwargs = {f.name: getattr(args, f.name) for f in dataclasses.fields(TrainConfig)}
     cfg = TrainConfig(**cfg_kwargs)
 
-    trainer = Trainer(cfg)
+    use_pp = cfg.mesh_stage > 1
+    if use_pp:
+        from sow_tpu.parallel.pipeline import PipelineTrainer
+
+        trainer = PipelineTrainer(cfg, n_stages=cfg.mesh_stage)
+    else:
+        trainer = Trainer(cfg)
     print(f"devices: {jax.devices()}")
     print(f"mesh: {trainer.mesh.shape}")
     print(format_memory_report(trainer.params, trainer.opt_state))
@@ -82,15 +88,22 @@ def _run(args):
     if args.continue_from:
         ckpt = latest_checkpoint(args.continue_from)
         if ckpt:
-            trainer.params, state = restore_params(trainer.params, ckpt)
-            trainer.params = trainer._device_put_params(trainer.params)
-            trainer._build_optimizer()
-            # jitted + sharded init (same as Trainer.__init__): an unjitted
-            # init would materialize full optimizer state replicated on every
-            # device at exactly the restore-time memory peak.
-            opt_sh = trainer._opt_shardings(trainer.params)
-            fresh = jax.jit(trainer.opt.init, out_shardings=opt_sh)(trainer.params)
-            trainer.opt_state = jax.device_put(restore_opt_state(fresh, ckpt), opt_sh)
+            if use_pp:
+                # params persist in the standard layout (interop with the
+                # non-pipelined trainer); moments restore by pipeline path
+                std, state = restore_params(trainer.standard_params, ckpt)
+                trainer.load_standard(std)
+                trainer.opt_state = restore_opt_state(trainer.opt_state, ckpt)
+            else:
+                trainer.params, state = restore_params(trainer.params, ckpt)
+                trainer.params = trainer._device_put_params(trainer.params)
+                trainer._build_optimizer()
+                # jitted + sharded init (same as Trainer.__init__): an
+                # unjitted init would materialize full optimizer state
+                # replicated on every device at the restore-time memory peak.
+                opt_sh = trainer._opt_shardings(trainer.params)
+                fresh = jax.jit(trainer.opt.init, out_shardings=opt_sh)(trainer.params)
+                trainer.opt_state = jax.device_put(restore_opt_state(fresh, ckpt), opt_sh)
             start_step = state["update_step"]
             trainer.update_step = start_step
             trainer.tokens_seen = state.get("tokens_seen", 0)
@@ -148,8 +161,9 @@ def _run(args):
             t_log, tokens_at_log = time.perf_counter(), trainer.tokens_seen
 
         if args.save_dir and step % args.save_every == 0:
+            save_params = trainer.standard_params if use_pp else trainer.params
             save_checkpoint(
-                args.save_dir, step, trainer.params, trainer.opt_state,
+                args.save_dir, step, save_params, trainer.opt_state,
                 config=dataclasses.asdict(cfg), tokens_seen=trainer.tokens_seen,
             )
 
@@ -162,8 +176,9 @@ def _run(args):
             print(f"eval @ {step}: loss {out['eval_loss']:.4f} ppl {out['perplexity']:.2f}")
 
     if args.save_dir:
+        save_params = trainer.standard_params if use_pp else trainer.params
         save_checkpoint(
-            args.save_dir, trainer.update_step, trainer.params, trainer.opt_state,
+            args.save_dir, trainer.update_step, save_params, trainer.opt_state,
             config=dataclasses.asdict(cfg), tokens_seen=trainer.tokens_seen,
         )
     print(json.dumps({"final_step": trainer.update_step, "tokens_seen": trainer.tokens_seen}))

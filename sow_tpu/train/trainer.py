@@ -97,6 +97,11 @@ class TrainConfig:
     # (long-context training; see models/llama.py ``seq_shard``).
     # max_length must divide by it.
     mesh_seq: int = 1
+    # Pipeline parallelism: layers sharded over this many stages
+    # (parallel/pipeline.py GPipe schedule). >1 routes pretraining through
+    # PipelineTrainer on a (data, stage) mesh; gradient_accumulation becomes
+    # the microbatch count.
+    mesh_stage: int = 1
 
 
 def _dtype(name: str):
