@@ -1,0 +1,102 @@
+"""Background-thread batch prefetch — overlap host data work with device steps.
+
+The reference's dataloader is a synchronous generator consumed inline by the
+training loop (``scripts/utils/dataloader.py``; torch DataLoader workers are
+not used). On TPU the equivalent stall is worse: tokenize/pack happens on the
+host while the chip idles. This prefetcher runs the upstream iterator in a
+daemon thread ``depth`` batches ahead and (optionally) eagerly transfers each
+batch to device with the training sharding, so ``next()`` returns arrays the
+step can consume without waiting on host work or PCIe.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterator, Optional
+
+import jax
+import numpy as np
+
+_SENTINEL = object()
+
+
+class Prefetcher:
+    """Wrap ``iterator`` with a ``depth``-deep background prefetch queue.
+
+    ``shardings``: optional pytree-prefix of ``jax.sharding.Sharding`` — when
+    given, each batch's arrays are ``device_put`` on the prefetch thread
+    (async dispatch), so the consumer receives device-resident, correctly
+    sharded arrays.
+
+    Exceptions in the source iterator re-raise at the consuming ``next()``;
+    ``close()`` (or garbage collection) stops the thread.
+    """
+
+    def __init__(
+        self,
+        iterator: Iterator[Any],
+        depth: int = 2,
+        shardings: Optional[Any] = None,
+    ):
+        self._src = iterator
+        self._shardings = shardings
+        self._q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _transfer(self, batch):
+        if self._shardings is None:
+            return batch
+        if isinstance(batch, dict) and not isinstance(self._shardings, dict):
+            return {
+                k: jax.device_put(np.asarray(v), self._shardings)
+                for k, v in batch.items()
+            }
+        return jax.device_put(batch, self._shardings)
+
+    def _worker(self):
+        try:
+            for batch in self._src:
+                if self._stop.is_set():
+                    return
+                batch = self._transfer(batch)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
+        except BaseException as e:  # noqa: BLE001 — propagate to consumer
+            self._q.put(("__error__", e))
+            return
+        self._q.put(_SENTINEL)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is _SENTINEL:
+            raise StopIteration
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
+            raise item[1]
+        return item
+
+    def close(self):
+        self._stop.set()
+        # drain so the worker unblocks from a full queue
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __del__(self):  # best-effort cleanup
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -45,6 +45,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--wandb-project", type=str, default=None)
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler trace of steps 10-15 here")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches prefetched + device_put on a background "
+                        "thread (0 disables); overlaps host data work with "
+                        "device steps")
     p.add_argument("--auto-restart", type=int, default=0,
                    help="on crash, resume from the latest checkpoint up to N times "
                         "(simple fault tolerance; the reference has none — "
@@ -116,6 +120,12 @@ def _run(args):
         seed=cfg.seed,
         synthetic=args.synthetic_data,
     )
+    if args.prefetch > 0:
+        from sow_tpu.data.prefetch import Prefetcher
+        from sow_tpu.parallel.mesh import token_sharding
+
+        sharding = None if use_pp else token_sharding(trainer.mesh)
+        data = Prefetcher(data, depth=args.prefetch, shardings=sharding)
 
     from sow_tpu.utils.logging import MetricsLogger, device_memory_stats, profile_trace
 
