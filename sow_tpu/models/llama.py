@@ -568,6 +568,80 @@ def forward_with_cache(
     return logits, new_cache
 
 
+def forward_decode_ragged(
+    params: dict,
+    tokens: jax.Array,  # (B,) — one new token per slot
+    cfg: LlamaConfig,
+    cache: list[dict],
+    lengths: jax.Array,  # (B,) — tokens already in each slot's cache
+) -> tuple[jax.Array, list[dict]]:
+    """One decode step where every batch slot sits at its OWN position —
+    the continuous-batching primitive (``eval/serve.py``). Unlike
+    ``forward_with_cache`` (uniform scalar ``start``), each slot b writes
+    its K/V at ``lengths[b]`` (batched scatter) and attends to cache slots
+    ``< lengths[b] + 1``. Returns (logits (B, vocab), updated cache)."""
+    b = tokens.shape[0]
+    max_len = cache[0]["k"].shape[2]
+    nh, kvh, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
+    bidx = jnp.arange(b)
+
+    x = params["embed"]["embedding"][tokens][:, None]  # (B, 1, h)
+    cos, sin = rope_tables(lengths[:, None], hd, cfg.rope_theta)
+
+    # slot b attends to cache positions <= lengths[b] (its own new token
+    # lands at lengths[b])
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (b, max_len), 1)
+    mask = (k_pos <= lengths[:, None])[:, None, None, :]  # (B, 1, 1, max_len)
+
+    new_cache = []
+    for i in range(cfg.num_hidden_layers):
+        lp = params["layers"][str(i)]
+        h = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
+        ap = lp["attn"]
+        q = linear_apply(ap["q_proj"], h).reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
+        k = linear_apply(ap["k_proj"], h).reshape(b, 1, kvh, hd).transpose(0, 2, 1, 3)
+        v = linear_apply(ap["v_proj"], h).reshape(b, 1, kvh, hd).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        quantized = cache[i]["k"].dtype == jnp.int8
+        if quantized:
+            kq, ks = _quantize_kv_block(k)
+            vq, vs = _quantize_kv_block(v)
+            layer_cache = {
+                # batched scatter: slot b's K/V lands at its own position
+                "k": cache[i]["k"].at[bidx, :, lengths].set(kq[:, :, 0]),
+                "v": cache[i]["v"].at[bidx, :, lengths].set(vq[:, :, 0]),
+                "k_scale": cache[i]["k_scale"].at[bidx, :, lengths].set(ks[:, :, 0]),
+                "v_scale": cache[i]["v_scale"].at[bidx, :, lengths].set(vs[:, :, 0]),
+            }
+            k_scale, v_scale = layer_cache["k_scale"], layer_cache["v_scale"]
+        else:
+            cdt = cache[i]["k"].dtype
+            layer_cache = {
+                "k": cache[i]["k"].at[bidx, :, lengths].set(k[:, :, 0].astype(cdt)),
+                "v": cache[i]["v"].at[bidx, :, lengths].set(v[:, :, 0].astype(cdt)),
+            }
+            k_scale = v_scale = None
+        new_cache.append(layer_cache)
+
+        attn = grouped_attention(
+            q, layer_cache["k"], layer_cache["v"], mask, hd,
+            k_scale=k_scale, v_scale=v_scale,
+        )
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
+        x = x + linear_apply(ap["o_proj"], attn)
+        h2 = rms_norm(x, lp["post_norm"]["scale"], cfg.rms_norm_eps)
+        x = x + _mlp(lp["mlp"], h2)
+
+    x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings:
+        logits = x @ params["embed"]["embedding"].T
+    else:
+        logits = linear_apply(params["lm_head"], x)
+    return logits[:, 0], new_cache
+
+
 # -- HF interop --------------------------------------------------------------
 
 def params_from_hf_state_dict(state_dict: dict, cfg: LlamaConfig, dtype=jnp.float32) -> dict:

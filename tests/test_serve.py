@@ -1,0 +1,94 @@
+"""Continuous-batching server tests: outputs must match isolated greedy
+decodes regardless of admission order / slot reuse."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sow_tpu.eval.generate import greedy_generate
+from sow_tpu.eval.serve import GenerationServer
+from sow_tpu.models import get_config, init_params
+
+CFG = get_config("llama_test")
+PARAMS = init_params(jax.random.PRNGKey(0), CFG)
+
+
+def isolated_greedy(prompt, max_new):
+    ids = jnp.asarray([prompt], jnp.int32)
+    mask = jnp.ones_like(ids)
+    out = greedy_generate(PARAMS, ids, mask, CFG, max_new_tokens=max_new)
+    return [int(x) for x in np.asarray(out)[0]]
+
+
+class TestGenerationServer:
+    def _server(self, **kw):
+        kw.setdefault("max_batch", 3)
+        kw.setdefault("max_len", 64)
+        kw.setdefault("prompt_buckets", (8, 16))
+        return GenerationServer(PARAMS, CFG, **kw)
+
+    def test_matches_isolated_greedy(self):
+        rng = np.random.RandomState(0)
+        prompts = [list(rng.randint(2, CFG.vocab_size, n)) for n in (5, 9, 13, 7, 11)]
+        srv = self._server()
+        rids = [srv.submit(p, max_new_tokens=6) for p in prompts]
+        out = srv.run()
+        for rid, p in zip(rids, prompts):
+            assert out[rid] == isolated_greedy(p, 6), rid
+
+    def test_slot_reuse_with_ragged_budgets(self):
+        """5 requests through 2 slots with different budgets: retirement
+        frees slots mid-flight and later admissions reuse them."""
+        rng = np.random.RandomState(1)
+        prompts = [list(rng.randint(2, CFG.vocab_size, 6)) for _ in range(5)]
+        budgets = [3, 8, 5, 2, 6]
+        srv = self._server(max_batch=2)
+        rids = [srv.submit(p, max_new_tokens=b) for p, b in zip(prompts, budgets)]
+        out = srv.run()
+        for rid, p, b in zip(rids, prompts, budgets):
+            assert out[rid] == isolated_greedy(p, b), rid
+
+    def test_late_submission(self):
+        """A prompt submitted after others are mid-decode still matches its
+        isolated decode (per-slot positions really are independent)."""
+        rng = np.random.RandomState(2)
+        first = [list(rng.randint(2, CFG.vocab_size, 8)) for _ in range(2)]
+        late = list(rng.randint(2, CFG.vocab_size, 5))
+        srv = self._server()
+        rids = [srv.submit(p, max_new_tokens=8) for p in first]
+        for _ in range(3):
+            srv.step()
+        rid_late = srv.submit(late, max_new_tokens=8)
+        out = srv.run()
+        assert out[rid_late] == isolated_greedy(late, 8)
+        for rid, p in zip(rids, first):
+            assert out[rid] == isolated_greedy(p, 8)
+
+    def test_eos_frees_slot_early(self):
+        rng = np.random.RandomState(3)
+        p = list(rng.randint(2, CFG.vocab_size, 6))
+        free = isolated_greedy(p, 8)
+        eos = free[2]  # pretend the 3rd token is EOS
+        srv = self._server(eos_token_id=eos)
+        rid = srv.submit(p, max_new_tokens=8)
+        out = srv.run()
+        assert out[rid] == free[:3]  # stops AT the eos token
+
+    def test_int8_cache(self):
+        rng = np.random.RandomState(4)
+        prompts = [list(rng.randint(2, CFG.vocab_size, n)) for n in (5, 9)]
+        srv = self._server(cache_dtype=jnp.int8)
+        rids = [srv.submit(p, max_new_tokens=5) for p in prompts]
+        out = srv.run()
+        for rid, p in zip(rids, prompts):
+            assert out[rid] == isolated_greedy(p, 5), rid
+
+    def test_compile_count_bounded(self):
+        """One prefill compile per bucket + one decode compile, regardless
+        of how many requests flow through."""
+        rng = np.random.RandomState(5)
+        srv = self._server()
+        for n in (3, 5, 7, 9, 12, 4, 15):
+            srv.submit(list(rng.randint(2, CFG.vocab_size, n)), max_new_tokens=3)
+        srv.run()
+        assert set(srv._prefill) <= {8, 16}
