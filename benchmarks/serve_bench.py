@@ -92,9 +92,11 @@ def main():
     cache_dtype = jnp.int8 if args.int8_kv_cache else None
     max_len = 224 + 64  # workload ceiling
 
-    # warm both engines (compiles) on a small prefix of the workload
-    run_fixed_batch(params, cfg, reqs[: args.pool], args.pool, cache_dtype)
-    run_server(params, cfg, reqs[: args.pool], args.pool, cache_dtype, max_len)
+    # warm pass compiles every signature each engine will see (fixed-batch
+    # recompiles per ragged (prompt_len, budget) chunk signature — running
+    # the FULL workload once makes the measured pass compile-free for both)
+    run_fixed_batch(params, cfg, reqs, args.pool, cache_dtype)
+    run_server(params, cfg, reqs, args.pool, cache_dtype, max_len)
 
     n_fixed, dt_fixed = run_fixed_batch(params, cfg, reqs, args.pool, cache_dtype)
     n_srv, dt_srv = run_server(params, cfg, reqs, args.pool, cache_dtype, max_len)

@@ -34,10 +34,23 @@ ANSWER_PATTERNS = {
 }
 
 
+def _dataset_pattern(dataset: str) -> Optional[str]:
+    """Answer regex for a dataset name or any path containing one —
+    'dataset/ARC-Easy', 'fixtures/arc_easy_test.json' both resolve."""
+    exact = ANSWER_PATTERNS.get(dataset.split("/")[-1])
+    if exact is not None:
+        return exact
+    norm = re.sub(r"[^a-z0-9]", "", dataset.lower())
+    for name, pattern in ANSWER_PATTERNS.items():
+        if re.sub(r"[^a-z0-9]", "", name.lower()) in norm:
+            return pattern
+    return None
+
+
 def extract_answer(dataset: str, sentence: str) -> str:
     """First regex match in the generated text, '' if none
     (ref ``commonsense_evaluate.py:338-369``)."""
-    pattern = ANSWER_PATTERNS.get(dataset.split("/")[-1])
+    pattern = _dataset_pattern(dataset)
     if pattern is None:
         raise KeyError(f"unknown dataset {dataset!r}")
     found = re.findall(pattern, sentence.strip())
@@ -67,10 +80,36 @@ class EvalConfig:
     # cache-bound shapes (llama-1b bs-32 ctx-1k, v5e-1); exact-match tokens
     # on the tiny test model, ~1% logit error bound tested.
     int8_kv_cache: bool = False
+    # "batch": fixed batches through greedy/beam generate (the reference's
+    # scheme, commonsense_evaluate.py:58-90). "server": continuous batching
+    # through eval.serve.GenerationServer — greedy only; ragged prompts and
+    # EOS-terminated completions stop paying for batch stragglers.
+    engine: str = "batch"
 
     @property
     def cache_dtype(self):
         return jnp.int8 if self.int8_kv_cache else None
+
+
+def _server_generate(params, model_cfg, tokenized, cfg: EvalConfig, eos_id):
+    """All records through one continuous-batching server; returns generated
+    token lists in submission order."""
+    from sow_tpu.eval.serve import GenerationServer
+
+    longest = max(len(t) for t in tokenized)
+    buckets, b = [], 32
+    while b < longest:
+        buckets.append(b)
+        b *= 2
+    buckets.append(b)
+    srv = GenerationServer(
+        params, model_cfg, max_batch=cfg.batch_size,
+        max_len=b + cfg.max_new_tokens, eos_token_id=eos_id,
+        cache_dtype=cfg.cache_dtype, prompt_buckets=tuple(buckets),
+    )
+    rids = [srv.submit(t, max_new_tokens=cfg.max_new_tokens) for t in tokenized]
+    out = srv.run()
+    return [out[r] for r in rids]
 
 
 def evaluate_commonsense(
@@ -87,6 +126,22 @@ def evaluate_commonsense(
     correct, outputs = 0, []
     pad_id = tokenizer.pad_token_id or 0
     eos_id = tokenizer.eos_token_id
+
+    if cfg.engine == "server" and decode_fn is None:
+        if cfg.num_beams > 1:
+            raise ValueError("engine='server' is greedy-only (num_beams=1)")
+        prompts = [generate_prompt(r, include_output=False) for r in records]
+        tokenized = [tokenizer(p)["input_ids"] for p in prompts]
+        gens = _server_generate(params, model_cfg, tokenized, cfg, eos_id)
+        for rec, gen in zip(records, gens):
+            text = tokenizer.decode(gen, skip_special_tokens=True)
+            pred = extract_answer(cfg.dataset, extract_response("### Response:" + text))
+            label = str(rec["answer"]).strip()
+            ok = pred == label
+            correct += int(ok)
+            outputs.append({"prediction": pred, "answer": label, "correct": ok, "raw": text})
+        n = len(records)
+        return {"accuracy": correct / n if n else 0.0, "n": n, "outputs": outputs}
 
     for i in range(0, len(records), cfg.batch_size):
         batch = records[i : i + cfg.batch_size]
@@ -144,6 +199,8 @@ def main(argv=None):
     p.add_argument("--rank", type=int, default=10)
     p.add_argument("--int8-kv-cache", action="store_true",
                    help="quantized KV cache: half the cache HBM, faster decode")
+    p.add_argument("--engine", choices=("batch", "server"), default="batch",
+                   help="server = continuous batching (greedy only)")
     args = p.parse_args(argv)
 
     model_cfg = get_config(args.base_model)
@@ -156,9 +213,9 @@ def main(argv=None):
     ckpt = latest_checkpoint(args.checkpoint) or args.checkpoint
     params, _ = restore_params(params, ckpt)
 
-    from transformers import AutoTokenizer
+    from sow_tpu.data.byte_tokenizer import load_tokenizer_or_byte
 
-    tok = AutoTokenizer.from_pretrained(args.tokenizer)
+    tok = load_tokenizer_or_byte(args.tokenizer)
     if tok.pad_token_id is None:
         tok.pad_token = tok.eos_token
 
@@ -166,8 +223,9 @@ def main(argv=None):
     records = load_test_records(path)
     cfg = EvalConfig(
         dataset=args.dataset, batch_size=args.batch_size,
-        max_new_tokens=args.max_new_tokens, num_beams=args.num_beams,
-        int8_kv_cache=args.int8_kv_cache,
+        max_new_tokens=args.max_new_tokens,
+        num_beams=1 if args.engine == "server" else args.num_beams,
+        int8_kv_cache=args.int8_kv_cache, engine=args.engine,
     )
     out = evaluate_commonsense(params, model_cfg, tok, records, cfg)
     print(json.dumps({"accuracy": out["accuracy"], "n": out["n"]}))

@@ -7,15 +7,20 @@ This engine keeps a fixed pool of ``max_batch`` slots and interleaves:
 
   * **admit**: a pending prompt prefill-fills a free slot (prompt lengths
     bucketed to powers of two so there is one compiled prefill per bucket);
-  * **decode**: one fused step advances ALL active slots — each at its own
+  * **decode**: one fused call advances ALL active slots — each at its own
     position — via ``models/llama.py::forward_decode_ragged`` (batched
-    K/V scatter at per-slot write indices, per-slot causal masks);
-  * **retire**: slots hitting EOS or their token budget free immediately and
-    the next pending prompt takes over the slot.
+    K/V scatter at per-slot write indices, per-slot causal masks). Decoding
+    runs ``decode_chunk`` ticks per host round-trip as one ``lax.scan``
+    (multi-step scheduling): slots hitting EOS or their budget deactivate
+    *inside* the chunk, so one device call + one host sync covers up to
+    ``decode_chunk`` tokens per slot instead of one;
+  * **retire**: finished slots free at chunk boundaries and the next
+    pending prompt takes over the slot.
 
 Everything device-side is static-shape (the pool, the caches, the step), so
 there are exactly ``len(buckets) + 1`` compiles regardless of traffic.
-Supports the int8 KV cache (``cache_dtype=jnp.int8``) for 2x pool capacity.
+Supports the int8 KV cache (``cache_dtype=jnp.int8``) for 2x pool capacity
+and per-request temperature sampling (Gumbel-max, reproducible per seed).
 """
 
 from __future__ import annotations
@@ -44,6 +49,7 @@ class _Slot:
     prompt_len: int
     max_new: int
     generated: list
+    temperature: float = 0.0
 
 
 class GenerationServer:
@@ -58,12 +64,15 @@ class GenerationServer:
         eos_token_id: Optional[int] = None,
         cache_dtype=None,
         prompt_buckets: tuple[int, ...] = (32, 64, 128, 256),
+        decode_chunk: int = 8,
+        sample_seed: int = 0,
     ):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
         self.max_len = max_len
         self.eos = eos_token_id
+        self.decode_chunk = decode_chunk
         self.buckets = tuple(b for b in prompt_buckets if b <= max_len)
         dtype = cache_dtype or params["embed"]["embedding"].dtype
         self.cache = llama_lib.init_cache(cfg, max_batch, max_len, dtype=dtype)
@@ -72,21 +81,29 @@ class GenerationServer:
         self.slots: list[Optional[_Slot]] = [None] * max_batch
         self.lengths = np.zeros(max_batch, np.int32)  # tokens in cache per slot
         self.last_token = np.zeros(max_batch, np.int32)
+        self.temps = np.zeros(max_batch, np.float32)  # 0 = greedy
         self.pending: list[tuple[int, list]] = []
         self.finished: dict[int, list] = {}
         self._next_id = 0
+        self._sample_seed = sample_seed
+        self._base_key = jax.random.PRNGKey(sample_seed)
+        self._chunk_counter = 0
 
-        self._decode = jax.jit(self._decode_impl)
+        self._decode = jax.jit(self._decode_impl, donate_argnums=(1,))
         self._prefill = {}  # bucket -> jitted fn
 
     # -- public API --------------------------------------------------------
-    def submit(self, prompt_ids: list, max_new_tokens: int = 32) -> int:
-        """Queue a prompt; returns a request id (see ``finished``)."""
+    def submit(
+        self, prompt_ids: list, max_new_tokens: int = 32, temperature: float = 0.0
+    ) -> int:
+        """Queue a prompt; returns a request id (see ``finished``).
+        ``temperature`` 0 = greedy; > 0 = per-slot softmax sampling
+        (reproducible given the server's ``sample_seed``)."""
         rid = self._next_id
         self._next_id += 1
         if len(prompt_ids) + max_new_tokens > self.max_len:
             raise ValueError("prompt + budget exceeds max_len")
-        self.pending.append((rid, (list(prompt_ids), max_new_tokens)))
+        self.pending.append((rid, (list(prompt_ids), max_new_tokens, temperature)))
         return rid
 
     def step(self) -> dict[int, list]:
@@ -111,7 +128,7 @@ class GenerationServer:
         for i in range(self.max_batch):
             if self.slots[i] is not None or not self.pending:
                 continue
-            rid, (prompt, max_new) = self.pending.pop(0)
+            rid, (prompt, max_new, temperature) = self.pending.pop(0)
             t = len(prompt)
             bucket = _bucket(t, self.buckets)
             ids = np.zeros((1, bucket), np.int32)
@@ -123,10 +140,17 @@ class GenerationServer:
                 self.params, self.cache, jnp.asarray(ids), jnp.asarray(mask),
                 jnp.int32(i), jnp.int32(t),
             )
-            first = int(jnp.argmax(logits.astype(jnp.float32)))
-            self.slots[i] = _Slot(rid, t, max_new, [first])
+            lg = np.asarray(logits, np.float32)
+            if temperature > 0:
+                # deterministic per-request Gumbel-max on the host
+                g = np.random.RandomState(self._sample_seed ^ (rid + 1)).gumbel(size=lg.shape)
+                first = int(np.argmax(lg / temperature + g))
+            else:
+                first = int(np.argmax(lg))
+            self.slots[i] = _Slot(rid, t, max_new, [first], temperature)
             self.lengths[i] = t
             self.last_token[i] = first
+            self.temps[i] = temperature
 
     def _prefill_fn(self, bucket: int):
         if bucket not in self._prefill:
@@ -164,33 +188,73 @@ class GenerationServer:
             self._prefill[bucket] = prefill
         return self._prefill[bucket]
 
-    def _decode_impl(self, params, cache, tokens, lengths, active):
-        logits, cache = llama_lib.forward_decode_ragged(
-            params, tokens, self.cfg, cache, lengths
+    def _decode_impl(self, params, cache, tokens, lengths, active, budget,
+                     temps, key):
+        """``decode_chunk`` ragged ticks as one scan. A slot deactivates in
+        place when it emits EOS or exhausts its budget; inactive slots keep
+        re-writing their last K/V at a fixed position — junk the host never
+        exposes (and prefill fully overwrites the slot on re-admission).
+        Slots with ``temps > 0`` Gumbel-max sample; others take argmax."""
+        eos = self.eos
+
+        def tick(carry, _):
+            cache, tok, lengths, active, budget, key = carry
+            logits, cache = llama_lib.forward_decode_ragged(
+                params, tok, self.cfg, cache, lengths
+            )
+            lg = logits.astype(jnp.float32)
+            greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            key, sub = jax.random.split(key)
+            gumbel = jax.random.gumbel(sub, lg.shape)
+            samp = jnp.argmax(
+                lg / jnp.maximum(temps, 1e-6)[:, None] + gumbel, axis=-1
+            ).astype(jnp.int32)
+            nxt = jnp.where(temps > 0, samp, greedy)
+            nxt = jnp.where(active, nxt, tok)
+            adv = active.astype(jnp.int32)
+            lengths = lengths + adv
+            budget = budget - adv
+            done = budget <= 0
+            if eos is not None:
+                done = done | (nxt == eos)
+            return (cache, nxt, lengths, active & ~done, budget, key), nxt
+
+        (cache, _, lengths, active, budget, _), toks = jax.lax.scan(
+            tick, (cache, tokens, lengths, active, budget, key), None,
+            length=self.decode_chunk,
         )
-        nxt = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
-        # inactive slots must not advance (their cache writes land in slot
-        # position `lengths`, which retire() never exposes — harmless junk)
-        nxt = jnp.where(active, nxt, tokens)
-        return nxt, cache
+        return toks, cache, lengths
 
     def _tick(self):
         active = np.array([s is not None for s in self.slots])
-        nxt, self.cache = self._decode(
+        budget = np.array(
+            [(s.max_new - len(s.generated)) if s else 0 for s in self.slots],
+            np.int32,
+        )
+        if not np.any(active & (budget > 0)):
+            return  # every occupied slot already has its budget (retire next)
+        start = self.lengths.copy()
+        key = jax.random.fold_in(self._base_key, self._chunk_counter)
+        self._chunk_counter += 1
+        toks, self.cache, lengths = self._decode(
             self.params,
             self.cache,
             jnp.asarray(self.last_token),
             jnp.asarray(self.lengths),
-            jnp.asarray(active),
+            jnp.asarray(active & (budget > 0)),
+            jnp.asarray(budget),
+            jnp.asarray(self.temps),
+            key,
         )
-        nxt = np.asarray(nxt)
+        toks = np.asarray(toks)  # (decode_chunk, B) — ONE host sync per chunk
+        self.lengths = np.array(lengths, np.int32)  # writable host copy
         for i, slot in enumerate(self.slots):
             if slot is None:
                 continue
-            self.lengths[i] += 1
-            tok = int(nxt[i])
-            slot.generated.append(tok)
-            self.last_token[i] = tok
+            n = int(self.lengths[i] - start[i])  # ticks slot i was live for
+            if n:
+                slot.generated.extend(int(t) for t in toks[:n, i])
+                self.last_token[i] = slot.generated[-1]
 
     def _retire(self) -> dict[int, list]:
         done = {}
@@ -198,8 +262,9 @@ class GenerationServer:
             if slot is None:
                 continue
             gen = slot.generated
+            # a slot deactivates inside the chunk at EOS/budget, so gen ends
+            # exactly at the eos token or at max_new tokens
             hit_eos = self.eos is not None and gen[-1] == self.eos
-            # the pre-appended next-token candidate makes len(gen) one ahead
             if hit_eos or len(gen) >= slot.max_new:
                 out = gen[: slot.max_new]
                 done[slot.request_id] = out
@@ -207,4 +272,5 @@ class GenerationServer:
                 self.slots[i] = None
                 self.lengths[i] = 0
                 self.last_token[i] = 0
+                self.temps[i] = 0.0
         return done

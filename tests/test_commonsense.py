@@ -45,6 +45,9 @@ class StubTokenizer:
     def batch_decode(self, arr, skip_special_tokens=True):
         return [" ".join(f"tok{t}" for t in row if t > 1) for row in np.asarray(arr)]
 
+    def decode(self, ids, skip_special_tokens=True):
+        return self.batch_decode([list(ids)])[0]
+
 
 class TestPrompts:
     def test_with_input(self):
@@ -140,6 +143,29 @@ class TestEvalHarness:
         assert out["n"] == 5
         assert 0.0 <= out["accuracy"] <= 1.0
         assert len(out["outputs"]) == 5
+
+    def test_server_engine_matches_batch_greedy(self):
+        """engine='server' (continuous batching) must produce the same
+        predictions as the fixed-batch greedy path."""
+        from sow_tpu.models import init_params
+
+        model_cfg = get_config("llama_test")
+        params = init_params(jax.random.PRNGKey(0), model_cfg)
+        tok = StubTokenizer(vocab_size=model_cfg.vocab_size)
+        records = [
+            {"instruction": f"question {i} with some extra words " * (1 + i % 3),
+             "answer": "true"}
+            for i in range(5)
+        ]
+        base = EvalConfig(dataset="boolq", batch_size=2, max_new_tokens=4, num_beams=1)
+        batch = evaluate_commonsense(params, model_cfg, tok, records, base)
+        srv = evaluate_commonsense(
+            params, model_cfg, tok, records,
+            EvalConfig(dataset="boolq", batch_size=2, max_new_tokens=4,
+                       num_beams=1, engine="server"),
+        )
+        assert [o["raw"] for o in srv["outputs"]] == [o["raw"] for o in batch["outputs"]]
+        assert srv["accuracy"] == batch["accuracy"]
 
 
 @pytest.mark.slow

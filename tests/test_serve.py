@@ -83,6 +83,29 @@ class TestGenerationServer:
         for rid, p in zip(rids, prompts):
             assert out[rid] == isolated_greedy(p, 5), rid
 
+    def test_sampling_reproducible_and_isolated(self):
+        """temperature>0 slots sample reproducibly (same seed -> same
+        tokens); greedy slots in the same pool are unaffected."""
+        rng = np.random.RandomState(6)
+        p_greedy = list(rng.randint(2, CFG.vocab_size, 7))
+        p_samp = list(rng.randint(2, CFG.vocab_size, 9))
+
+        def run_mixed():
+            srv = self._server()
+            rg = srv.submit(p_greedy, max_new_tokens=6)
+            rs = srv.submit(p_samp, max_new_tokens=6, temperature=1.0)
+            out = srv.run()
+            return out[rg], out[rs]
+
+        g1, s1 = run_mixed()
+        g2, s2 = run_mixed()
+        assert g1 == isolated_greedy(p_greedy, 6)  # greedy slot untouched
+        assert s1 == s2  # same seed -> reproducible samples
+        srv = self._server(sample_seed=123)
+        rs = srv.submit(p_samp, max_new_tokens=6, temperature=1.0)
+        s3 = srv.run()[rs]
+        assert s3 != s1 or s3 != isolated_greedy(p_samp, 6)
+
     def test_compile_count_bounded(self):
         """One prefill compile per bucket + one decode compile, regardless
         of how many requests flow through."""
