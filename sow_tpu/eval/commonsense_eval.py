@@ -85,6 +85,9 @@ class EvalConfig:
     # through eval.serve.GenerationServer — greedy only; ragged prompts and
     # EOS-terminated completions stop paying for batch stragglers.
     engine: str = "batch"
+    # multi-chip serving (engine="server"): weights TP/FSDP-sharded over
+    # this mesh, KV cache sharded over heads on the `model` axis
+    mesh: Optional[object] = None
 
     @property
     def cache_dtype(self):
@@ -106,6 +109,7 @@ def _server_generate(params, model_cfg, tokenized, cfg: EvalConfig, eos_id):
         params, model_cfg, max_batch=cfg.batch_size,
         max_len=b + cfg.max_new_tokens, eos_token_id=eos_id,
         cache_dtype=cfg.cache_dtype, prompt_buckets=tuple(buckets),
+        mesh=cfg.mesh,
     )
     rids = [srv.submit(t, max_new_tokens=cfg.max_new_tokens) for t in tokenized]
     out = srv.run()
@@ -201,6 +205,11 @@ def main(argv=None):
                    help="quantized KV cache: half the cache HBM, faster decode")
     p.add_argument("--engine", choices=("batch", "server"), default="batch",
                    help="server = continuous batching (greedy only)")
+    p.add_argument("--mesh-data", type=int, default=-1,
+                   help="-1 absorbs remaining devices (trainer convention)")
+    p.add_argument("--mesh-fsdp", type=int, default=1)
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-parallel serving over this many chips (engine=server)")
     args = p.parse_args(argv)
 
     model_cfg = get_config(args.base_model)
@@ -221,11 +230,16 @@ def main(argv=None):
 
     path = args.dataset if args.dataset.endswith(".json") else os.path.join(args.dataset, "test.json")
     records = load_test_records(path)
+    mesh = None
+    if args.mesh_fsdp * args.mesh_model > 1 or args.mesh_data > 1:
+        from sow_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp, model=args.mesh_model)
     cfg = EvalConfig(
         dataset=args.dataset, batch_size=args.batch_size,
         max_new_tokens=args.max_new_tokens,
         num_beams=1 if args.engine == "server" else args.num_beams,
-        int8_kv_cache=args.int8_kv_cache, engine=args.engine,
+        int8_kv_cache=args.int8_kv_cache, engine=args.engine, mesh=mesh,
     )
     out = evaluate_commonsense(params, model_cfg, tok, records, cfg)
     print(json.dumps({"accuracy": out["accuracy"], "n": out["n"]}))

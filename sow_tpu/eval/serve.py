@@ -26,7 +26,7 @@ and per-request temperature sampling (Gumbel-max, reproducible per seed).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -41,6 +41,97 @@ def _bucket(n: int, buckets: tuple[int, ...]) -> int:
         if n <= b:
             return b
     raise ValueError(f"prompt length {n} exceeds the largest bucket {buckets[-1]}")
+
+
+def _cache_shardings(mesh, cache):
+    """KV-head axis (axis 1 of every (B, kvh, T[, hd]) buffer) over the
+    ``model`` mesh axis; batch/positions replicated (slots are host-managed)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sow_tpu.parallel.mesh import _fit_spec
+
+    def sh(leaf):
+        return NamedSharding(mesh, _fit_spec(mesh, P(None, "model"), leaf))
+
+    return jax.tree_util.tree_map(sh, cache)
+
+
+@lru_cache(maxsize=None)
+def _make_prefill(cfg: llama_lib.LlamaConfig, bucket: int):
+    """Jitted bucket prefill, cached per (cfg, bucket) across ALL servers."""
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def prefill(params, cache, ids, mask, slot, t_real):
+        # batch-1 prefill into a scratch cache of bucket length, then copy
+        # the real suffix into the pool slot LEFT-ALIGNED (slot cache holds
+        # positions [0, t_real)).
+        b = ids.shape[1]
+        scratch = llama_lib.init_cache(cfg, 1, b, dtype=cache[0]["k"].dtype)
+        positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+        logits, scratch = llama_lib.forward_with_cache(
+            params, ids, cfg, scratch, 0, positions, mask
+        )
+        new_cache = []
+        for pool, sc in zip(cache, scratch):
+            layer = {}
+            for name, buf in pool.items():
+                blk = sc[name][0]  # (kvh, bucket[, hd])
+                # roll the left-padded block so the real prompt sits at
+                # positions [0, t_real)
+                blk = jnp.roll(blk, t_real - b, axis=1)
+                pad = buf.shape[2] - b
+                if pad > 0:
+                    padding = [(0, 0), (0, pad)] + [(0, 0)] * (blk.ndim - 2)
+                    blk = jnp.pad(blk, padding)
+                layer[name] = jax.lax.dynamic_update_index_in_dim(
+                    buf, blk.astype(buf.dtype), slot, 0
+                )
+            new_cache.append(layer)
+        return logits[0, -1], new_cache
+
+    return prefill
+
+
+@lru_cache(maxsize=None)
+def _make_decode(cfg: llama_lib.LlamaConfig, decode_chunk: int, eos: Optional[int]):
+    """Jitted chunked-decode, cached per (cfg, chunk, eos) across servers.
+
+    ``decode_chunk`` ragged ticks as one scan. A slot deactivates in place
+    when it emits EOS or exhausts its budget; inactive slots keep re-writing
+    their last K/V at a fixed position — junk the host never exposes (and
+    prefill fully overwrites the slot on re-admission). Slots with
+    ``temps > 0`` Gumbel-max sample; others take argmax."""
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def decode(params, cache, tokens, lengths, active, budget, temps, key):
+        def tick(carry, _):
+            cache, tok, lengths, active, budget, key = carry
+            logits, cache = llama_lib.forward_decode_ragged(
+                params, tok, cfg, cache, lengths
+            )
+            lg = logits.astype(jnp.float32)
+            greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            key, sub = jax.random.split(key)
+            gumbel = jax.random.gumbel(sub, lg.shape)
+            samp = jnp.argmax(
+                lg / jnp.maximum(temps, 1e-6)[:, None] + gumbel, axis=-1
+            ).astype(jnp.int32)
+            nxt = jnp.where(temps > 0, samp, greedy)
+            nxt = jnp.where(active, nxt, tok)
+            adv = active.astype(jnp.int32)
+            lengths = lengths + adv
+            budget = budget - adv
+            done = budget <= 0
+            if eos is not None:
+                done = done | (nxt == eos)
+            return (cache, nxt, lengths, active & ~done, budget, key), nxt
+
+        (cache, _, lengths, active, budget, _), toks = jax.lax.scan(
+            tick, (cache, tokens, lengths, active, budget, key), None,
+            length=decode_chunk,
+        )
+        return toks, cache, lengths
+
+    return decode
 
 
 @dataclasses.dataclass
@@ -66,6 +157,7 @@ class GenerationServer:
         prompt_buckets: tuple[int, ...] = (32, 64, 128, 256),
         decode_chunk: int = 8,
         sample_seed: int = 0,
+        mesh=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -76,6 +168,14 @@ class GenerationServer:
         self.buckets = tuple(b for b in prompt_buckets if b <= max_len)
         dtype = cache_dtype or params["embed"]["embedding"].dtype
         self.cache = llama_lib.init_cache(cfg, max_batch, max_len, dtype=dtype)
+        if mesh is not None:
+            # multi-chip serving: weights TP/FSDP-sharded by the training
+            # path rules, cache sharded over KV heads on the `model` axis;
+            # GSPMD propagates through prefill/decode and inserts the
+            # collectives (the serving analogue of the trainer's SPMD step)
+            from sow_tpu.parallel.mesh import params_shardings
+            self.params = jax.device_put(params, params_shardings(mesh, params))
+            self.cache = jax.device_put(self.cache, _cache_shardings(mesh, self.cache))
 
         # host-side slot bookkeeping
         self.slots: list[Optional[_Slot]] = [None] * max_batch
@@ -89,8 +189,11 @@ class GenerationServer:
         self._base_key = jax.random.PRNGKey(sample_seed)
         self._chunk_counter = 0
 
-        self._decode = jax.jit(self._decode_impl, donate_argnums=(1,))
-        self._prefill = {}  # bucket -> jitted fn
+        # jitted fns come from module-level lru_caches keyed on the static
+        # config, so every server with the same (cfg, chunk, eos) shares
+        # compiles — restarting a server must not recompile the engine
+        self._decode = _make_decode(cfg, decode_chunk, eos_token_id)
+        self._prefill = {}  # bucket -> jitted fn (filled from _make_prefill)
 
     # -- public API --------------------------------------------------------
     def submit(
@@ -154,76 +257,8 @@ class GenerationServer:
 
     def _prefill_fn(self, bucket: int):
         if bucket not in self._prefill:
-            cfg = self.cfg
-
-            @partial(jax.jit, donate_argnums=(1,))
-            def prefill(params, cache, ids, mask, slot, t_real):
-                # batch-1 prefill into a scratch cache of bucket length,
-                # then copy the real suffix into the pool slot LEFT-ALIGNED
-                # (slot cache holds positions [0, t_real)).
-                b = ids.shape[1]
-                scratch = llama_lib.init_cache(cfg, 1, b, dtype=cache[0]["k"].dtype)
-                positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
-                logits, scratch = llama_lib.forward_with_cache(
-                    params, ids, cfg, scratch, 0, positions, mask
-                )
-                new_cache = []
-                for pool, sc in zip(cache, scratch):
-                    layer = {}
-                    for name, buf in pool.items():
-                        blk = sc[name][0]  # (kvh, bucket[, hd])
-                        # roll the left-padded block so the real prompt sits
-                        # at positions [0, t_real)
-                        blk = jnp.roll(blk, t_real - b, axis=1)
-                        pad = buf.shape[2] - b
-                        if pad > 0:
-                            padding = [(0, 0), (0, pad)] + [(0, 0)] * (blk.ndim - 2)
-                            blk = jnp.pad(blk, padding)
-                        layer[name] = jax.lax.dynamic_update_index_in_dim(
-                            buf, blk.astype(buf.dtype), slot, 0
-                        )
-                    new_cache.append(layer)
-                return logits[0, -1], new_cache
-
-            self._prefill[bucket] = prefill
+            self._prefill[bucket] = _make_prefill(self.cfg, bucket)
         return self._prefill[bucket]
-
-    def _decode_impl(self, params, cache, tokens, lengths, active, budget,
-                     temps, key):
-        """``decode_chunk`` ragged ticks as one scan. A slot deactivates in
-        place when it emits EOS or exhausts its budget; inactive slots keep
-        re-writing their last K/V at a fixed position — junk the host never
-        exposes (and prefill fully overwrites the slot on re-admission).
-        Slots with ``temps > 0`` Gumbel-max sample; others take argmax."""
-        eos = self.eos
-
-        def tick(carry, _):
-            cache, tok, lengths, active, budget, key = carry
-            logits, cache = llama_lib.forward_decode_ragged(
-                params, tok, self.cfg, cache, lengths
-            )
-            lg = logits.astype(jnp.float32)
-            greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-            key, sub = jax.random.split(key)
-            gumbel = jax.random.gumbel(sub, lg.shape)
-            samp = jnp.argmax(
-                lg / jnp.maximum(temps, 1e-6)[:, None] + gumbel, axis=-1
-            ).astype(jnp.int32)
-            nxt = jnp.where(temps > 0, samp, greedy)
-            nxt = jnp.where(active, nxt, tok)
-            adv = active.astype(jnp.int32)
-            lengths = lengths + adv
-            budget = budget - adv
-            done = budget <= 0
-            if eos is not None:
-                done = done | (nxt == eos)
-            return (cache, nxt, lengths, active & ~done, budget, key), nxt
-
-        (cache, _, lengths, active, budget, _), toks = jax.lax.scan(
-            tick, (cache, tokens, lengths, active, budget, key), None,
-            length=self.decode_chunk,
-        )
-        return toks, cache, lengths
 
     def _tick(self):
         active = np.array([s is not None for s in self.slots])

@@ -115,3 +115,17 @@ class TestGenerationServer:
             srv.submit(list(rng.randint(2, CFG.vocab_size, n)), max_new_tokens=3)
         srv.run()
         assert set(srv._prefill) <= {8, 16}
+
+    def test_sharded_server_matches_unsharded(self):
+        """Multi-chip serving: a TP(+fsdp)-sharded server on the 8-device
+        virtual mesh produces token-identical outputs."""
+        from sow_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=2, fsdp=2, model=2)
+        rng = np.random.RandomState(7)
+        prompts = [list(rng.randint(2, CFG.vocab_size, n)) for n in (5, 11, 14)]
+        srv = self._server(mesh=mesh)
+        rids = [srv.submit(p, max_new_tokens=6) for p in prompts]
+        out = srv.run()
+        for rid, p in zip(rids, prompts):
+            assert out[rid] == isolated_greedy(p, 6), rid
