@@ -60,12 +60,13 @@ def run_fixed_batch(params, cfg, reqs, pool, cache_dtype):
     return total_new, time.perf_counter() - t0
 
 
-def run_server(params, cfg, reqs, pool, cache_dtype, max_len):
+def run_server(params, cfg, reqs, pool, cache_dtype, max_len, decode_chunk=8):
     from sow_tpu.eval.serve import GenerationServer
 
     srv = GenerationServer(
         params, cfg, max_batch=pool, max_len=max_len,
         cache_dtype=cache_dtype, prompt_buckets=(32, 64, 128, 256),
+        decode_chunk=decode_chunk,
     )
     for prompt, budget in reqs:
         srv.submit(prompt, max_new_tokens=budget)
@@ -81,6 +82,7 @@ def main():
     p.add_argument("--pool", type=int, default=16)
     p.add_argument("--requests", type=int, default=64)
     p.add_argument("--int8-kv-cache", action="store_true")
+    p.add_argument("--decode-chunk", type=int, default=8)
     args = p.parse_args()
 
     from sow_tpu.models import get_config, init_params
@@ -96,10 +98,12 @@ def main():
     # recompiles per ragged (prompt_len, budget) chunk signature — running
     # the FULL workload once makes the measured pass compile-free for both)
     run_fixed_batch(params, cfg, reqs, args.pool, cache_dtype)
-    run_server(params, cfg, reqs, args.pool, cache_dtype, max_len)
+    run_server(params, cfg, reqs, args.pool, cache_dtype, max_len, args.decode_chunk)
 
     n_fixed, dt_fixed = run_fixed_batch(params, cfg, reqs, args.pool, cache_dtype)
-    n_srv, dt_srv = run_server(params, cfg, reqs, args.pool, cache_dtype, max_len)
+    n_srv, dt_srv = run_server(
+        params, cfg, reqs, args.pool, cache_dtype, max_len, args.decode_chunk
+    )
 
     for name, n, dt in (("fixed_batch", n_fixed, dt_fixed), ("continuous", n_srv, dt_srv)):
         print(json.dumps({

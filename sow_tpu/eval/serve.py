@@ -5,8 +5,10 @@ fixed batch at a time with HF ``generate``: throughput dies on stragglers —
 every sequence waits for the batch's longest prompt AND longest completion.
 This engine keeps a fixed pool of ``max_batch`` slots and interleaves:
 
-  * **admit**: a pending prompt prefill-fills a free slot (prompt lengths
-    bucketed to powers of two so there is one compiled prefill per bucket);
+  * **admit**: pending prompts prefill-fill free slots in same-bucket
+    GROUPS — one device call (and one logits sync) admits up to
+    ``group`` requests (prompt lengths bucketed to powers of two, group
+    sizes likewise, so compiles stay bounded at buckets x log2(pool));
   * **decode**: one fused call advances ALL active slots — each at its own
     position — via ``models/llama.py::forward_decode_ragged`` (batched
     K/V scatter at per-slot write indices, per-slot causal masks). Decoding
@@ -18,7 +20,8 @@ This engine keeps a fixed pool of ``max_batch`` slots and interleaves:
     pending prompt takes over the slot.
 
 Everything device-side is static-shape (the pool, the caches, the step), so
-there are exactly ``len(buckets) + 1`` compiles regardless of traffic.
+compiles are bounded (``len(buckets) * log2(pool) + 1``) regardless of
+traffic.
 Supports the int8 KV cache (``cache_dtype=jnp.int8``) for 2x pool capacity
 and per-request temperature sampling (Gumbel-max, reproducible per seed).
 """
@@ -56,53 +59,88 @@ def _cache_shardings(mesh, cache):
 
 
 @lru_cache(maxsize=None)
-def _make_prefill(cfg: llama_lib.LlamaConfig, bucket: int):
-    """Jitted bucket prefill, cached per (cfg, bucket) across ALL servers."""
+def _make_prefill(cfg: llama_lib.LlamaConfig, bucket: int, group: int, seed: int):
+    """Jitted grouped prefill, cached per (cfg, bucket, group, seed) across
+    ALL servers: admits up to ``group`` same-bucket prompts in ONE device
+    call. Host I/O is exactly one packed float32 upload and one (group,)
+    token download — per-transfer latency dominates on tunneled/remote
+    TPUs, so every scalar rides the same array.
+
+    ``packed`` rows: [ids(bucket) | mask(bucket) | slot | t_real | rid |
+    temperature]. First tokens are sampled ON DEVICE: Gumbel-max with
+    ``fold_in(PRNGKey(seed), rid)`` when temperature > 0, else argmax."""
 
     @partial(jax.jit, donate_argnums=(1,))
-    def prefill(params, cache, ids, mask, slot, t_real):
-        # batch-1 prefill into a scratch cache of bucket length, then copy
-        # the real suffix into the pool slot LEFT-ALIGNED (slot cache holds
-        # positions [0, t_real)).
-        b = ids.shape[1]
-        scratch = llama_lib.init_cache(cfg, 1, b, dtype=cache[0]["k"].dtype)
+    def prefill(params, cache, packed):
+        ids = packed[:, :bucket].astype(jnp.int32)
+        mask = packed[:, bucket : 2 * bucket].astype(jnp.int32)
+        slots = packed[:, 2 * bucket].astype(jnp.int32)
+        t_real = packed[:, 2 * bucket + 1].astype(jnp.int32)
+        rid = packed[:, 2 * bucket + 2].astype(jnp.uint32)
+        temps = packed[:, 2 * bucket + 3]
+
+        # (group, bucket) prefill into a scratch cache, then copy each row's
+        # real suffix LEFT-ALIGNED into its pool slot (positions [0, t_real)).
+        # Padding rows carry slot index >= pool size -> scatter-dropped.
+        scratch = llama_lib.init_cache(cfg, group, bucket, dtype=cache[0]["k"].dtype)
         positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
         logits, scratch = llama_lib.forward_with_cache(
             params, ids, cfg, scratch, 0, positions, mask
         )
+        shift = t_real - bucket  # (group,) left-shift so prompts start at 0
         new_cache = []
         for pool, sc in zip(cache, scratch):
             layer = {}
             for name, buf in pool.items():
-                blk = sc[name][0]  # (kvh, bucket[, hd])
-                # roll the left-padded block so the real prompt sits at
-                # positions [0, t_real)
-                blk = jnp.roll(blk, t_real - b, axis=1)
-                pad = buf.shape[2] - b
+                blk = sc[name]  # (group, kvh, bucket[, hd])
+                blk = jax.vmap(lambda x, s: jnp.roll(x, s, axis=1))(blk, shift)
+                pad = buf.shape[2] - bucket
                 if pad > 0:
-                    padding = [(0, 0), (0, pad)] + [(0, 0)] * (blk.ndim - 2)
+                    padding = [(0, 0), (0, 0), (0, pad)] + [(0, 0)] * (blk.ndim - 3)
                     blk = jnp.pad(blk, padding)
-                layer[name] = jax.lax.dynamic_update_index_in_dim(
-                    buf, blk.astype(buf.dtype), slot, 0
-                )
+                layer[name] = buf.at[slots].set(blk.astype(buf.dtype), mode="drop")
             new_cache.append(layer)
-        return logits[0, -1], new_cache
+
+        lg = logits[:, -1].astype(jnp.float32)  # (group, vocab)
+        greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        keys = jax.vmap(lambda r: jax.random.fold_in(jax.random.PRNGKey(seed), r))(rid)
+        gumbel = jax.vmap(lambda k: jax.random.gumbel(k, (lg.shape[-1],)))(keys)
+        samp = jnp.argmax(
+            lg / jnp.maximum(temps, 1e-6)[:, None] + gumbel, axis=-1
+        ).astype(jnp.int32)
+        first = jnp.where(temps > 0, samp, greedy)
+        return first, new_cache
 
     return prefill
 
 
 @lru_cache(maxsize=None)
-def _make_decode(cfg: llama_lib.LlamaConfig, decode_chunk: int, eos: Optional[int]):
-    """Jitted chunked-decode, cached per (cfg, chunk, eos) across servers.
+def _make_decode(
+    cfg: llama_lib.LlamaConfig, decode_chunk: int, eos: Optional[int], seed: int
+):
+    """Jitted chunked-decode, cached per (cfg, chunk, eos, seed) across
+    servers.
 
     ``decode_chunk`` ragged ticks as one scan. A slot deactivates in place
     when it emits EOS or exhausts its budget; inactive slots keep re-writing
     their last K/V at a fixed position — junk the host never exposes (and
     prefill fully overwrites the slot on re-admission). Slots with
-    ``temps > 0`` Gumbel-max sample; others take argmax."""
+    ``temps > 0`` Gumbel-max sample; others take argmax.
+
+    Host I/O per chunk is ONE packed float32 upload (rows: tokens, lengths,
+    active, budget, temps, chunk-counter) and ONE packed int32 download
+    (rows 0..chunk-1 = emitted tokens, row chunk = final lengths)."""
 
     @partial(jax.jit, donate_argnums=(1,))
-    def decode(params, cache, tokens, lengths, active, budget, temps, key):
+    def decode(params, cache, packed):
+        tokens = packed[0].astype(jnp.int32)
+        lengths = packed[1].astype(jnp.int32)
+        active0 = packed[2] > 0
+        budget = packed[3].astype(jnp.int32)
+        temps = packed[4]
+        counter = packed[5, 0].astype(jnp.uint32)
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), counter)
+
         def tick(carry, _):
             cache, tok, lengths, active, budget, key = carry
             logits, cache = llama_lib.forward_decode_ragged(
@@ -126,10 +164,11 @@ def _make_decode(cfg: llama_lib.LlamaConfig, decode_chunk: int, eos: Optional[in
             return (cache, nxt, lengths, active & ~done, budget, key), nxt
 
         (cache, _, lengths, active, budget, _), toks = jax.lax.scan(
-            tick, (cache, tokens, lengths, active, budget, key), None,
+            tick, (cache, tokens, lengths, active0, budget, key), None,
             length=decode_chunk,
         )
-        return toks, cache, lengths
+        out = jnp.concatenate([toks, lengths[None]], axis=0)  # (chunk+1, B)
+        return out, cache
 
     return decode
 
@@ -186,14 +225,13 @@ class GenerationServer:
         self.finished: dict[int, list] = {}
         self._next_id = 0
         self._sample_seed = sample_seed
-        self._base_key = jax.random.PRNGKey(sample_seed)
         self._chunk_counter = 0
 
         # jitted fns come from module-level lru_caches keyed on the static
-        # config, so every server with the same (cfg, chunk, eos) shares
-        # compiles — restarting a server must not recompile the engine
-        self._decode = _make_decode(cfg, decode_chunk, eos_token_id)
-        self._prefill = {}  # bucket -> jitted fn (filled from _make_prefill)
+        # config, so every server with the same (cfg, chunk, eos, seed)
+        # shares compiles — restarting a server must not recompile the engine
+        self._decode = _make_decode(cfg, decode_chunk, eos_token_id, sample_seed)
+        self._prefill = {}  # (bucket, group) -> jitted fn (from _make_prefill)
 
     # -- public API --------------------------------------------------------
     def submit(
@@ -228,37 +266,53 @@ class GenerationServer:
 
     # -- internals ---------------------------------------------------------
     def _admit(self):
-        for i in range(self.max_batch):
-            if self.slots[i] is not None or not self.pending:
-                continue
-            rid, (prompt, max_new, temperature) = self.pending.pop(0)
-            t = len(prompt)
-            bucket = _bucket(t, self.buckets)
-            ids = np.zeros((1, bucket), np.int32)
-            mask = np.zeros((1, bucket), np.int32)
-            ids[0, bucket - t:] = prompt  # left-pad into the bucket
-            mask[0, bucket - t:] = 1
-            fn = self._prefill_fn(bucket)
-            logits, self.cache = fn(
-                self.params, self.cache, jnp.asarray(ids), jnp.asarray(mask),
-                jnp.int32(i), jnp.int32(t),
-            )
-            lg = np.asarray(logits, np.float32)
-            if temperature > 0:
-                # deterministic per-request Gumbel-max on the host
-                g = np.random.RandomState(self._sample_seed ^ (rid + 1)).gumbel(size=lg.shape)
-                first = int(np.argmax(lg / temperature + g))
-            else:
-                first = int(np.argmax(lg))
-            self.slots[i] = _Slot(rid, t, max_new, [first], temperature)
-            self.lengths[i] = t
-            self.last_token[i] = first
-            self.temps[i] = temperature
+        while self.pending:
+            free = [i for i in range(self.max_batch) if self.slots[i] is None]
+            if not free:
+                return
+            # take the next FIFO run of same-bucket pending requests (up to
+            # the free-slot count) and admit them in one grouped prefill
+            bucket = _bucket(len(self.pending[0][1][0]), self.buckets)
+            batch = []
+            while (
+                self.pending
+                and len(batch) < len(free)
+                and _bucket(len(self.pending[0][1][0]), self.buckets) == bucket
+            ):
+                batch.append(self.pending.pop(0))
+            g_real = len(batch)
+            group = 1
+            while group < g_real:
+                group *= 2
+            # one packed upload per group: [ids | mask | slot, t_real, rid, temp]
+            packed = np.zeros((group, 2 * bucket + 4), np.float32)
+            packed[:, 2 * bucket] = self.max_batch  # padding rows: OOB -> dropped
+            for g, (rid, (prompt, max_new, temperature)) in enumerate(batch):
+                t = len(prompt)
+                packed[g, bucket - t : bucket] = prompt  # left-pad into bucket
+                packed[g, 2 * bucket - t : 2 * bucket] = 1
+                packed[g, 2 * bucket] = free[g]
+                packed[g, 2 * bucket + 1] = t
+                packed[g, 2 * bucket + 2] = rid
+                packed[g, 2 * bucket + 3] = temperature
+            fn = self._prefill_fn(bucket, group)
+            first_dev, self.cache = fn(self.params, self.cache, jnp.asarray(packed))
+            firsts = np.asarray(first_dev)  # one tiny sync per GROUP
+            for g, (rid, (prompt, max_new, temperature)) in enumerate(batch):
+                first = int(firsts[g])
+                i = free[g]
+                self.slots[i] = _Slot(rid, len(prompt), max_new, [first], temperature)
+                self.lengths[i] = len(prompt)
+                self.last_token[i] = first
+                self.temps[i] = temperature
 
-    def _prefill_fn(self, bucket: int):
-        if bucket not in self._prefill:
-            self._prefill[bucket] = _make_prefill(self.cfg, bucket)
-        return self._prefill[bucket]
+    def _prefill_fn(self, bucket: int, group: int):
+        key = (bucket, group)
+        if key not in self._prefill:
+            self._prefill[key] = _make_prefill(
+                self.cfg, bucket, group, self._sample_seed
+            )
+        return self._prefill[key]
 
     def _tick(self):
         active = np.array([s is not None for s in self.slots])
@@ -269,20 +323,21 @@ class GenerationServer:
         if not np.any(active & (budget > 0)):
             return  # every occupied slot already has its budget (retire next)
         start = self.lengths.copy()
-        key = jax.random.fold_in(self._base_key, self._chunk_counter)
+        # one packed upload per chunk: [tokens, lengths, active, budget,
+        # temps, counter] as float32 rows (ints < 2^24 are float32-exact)
+        packed = np.stack([
+            self.last_token.astype(np.float32),
+            self.lengths.astype(np.float32),
+            (active & (budget > 0)).astype(np.float32),
+            budget.astype(np.float32),
+            self.temps,
+            np.full(self.max_batch, self._chunk_counter, np.float32),
+        ])
         self._chunk_counter += 1
-        toks, self.cache, lengths = self._decode(
-            self.params,
-            self.cache,
-            jnp.asarray(self.last_token),
-            jnp.asarray(self.lengths),
-            jnp.asarray(active & (budget > 0)),
-            jnp.asarray(budget),
-            jnp.asarray(self.temps),
-            key,
-        )
-        toks = np.asarray(toks)  # (decode_chunk, B) — ONE host sync per chunk
-        self.lengths = np.array(lengths, np.int32)  # writable host copy
+        out, self.cache = self._decode(self.params, self.cache, jnp.asarray(packed))
+        out = np.asarray(out)  # (chunk+1, B) — ONE host sync per chunk
+        toks = out[:-1]
+        self.lengths = out[-1].astype(np.int32)
         for i, slot in enumerate(self.slots):
             if slot is None:
                 continue

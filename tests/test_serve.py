@@ -114,7 +114,9 @@ class TestGenerationServer:
         for n in (3, 5, 7, 9, 12, 4, 15):
             srv.submit(list(rng.randint(2, CFG.vocab_size, n)), max_new_tokens=3)
         srv.run()
-        assert set(srv._prefill) <= {8, 16}
+        # prefill compiles keyed (bucket, group): buckets {8,16}, group a
+        # power of two <= pool size
+        assert all(b in (8, 16) and g in (1, 2, 4) for b, g in srv._prefill)
 
     def test_sharded_server_matches_unsharded(self):
         """Multi-chip serving: a TP(+fsdp)-sharded server on the 8-device
