@@ -485,6 +485,13 @@ def _quantize_kv_block(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+# Cache-write strategy crossover (measured, llama-1b v5e-1): a masked
+# broadcast select (full-buffer rewrite, perfectly vectorized) beats the
+# serializing scatter/dynamic-slice writes while the buffer is small; past
+# ~24 MiB the 2x buffer traffic costs more than the serialization it avoids.
+_WHERE_WRITE_MAX_BYTES = 24 * 1024 * 1024
+
+
 def forward_with_cache(
     params: dict,
     input_ids: jax.Array,  # (B, T) — prompt block (prefill) or 1 token (decode)
@@ -511,6 +518,21 @@ def forward_with_cache(
     causal = (k_pos <= q_pos)[None, None]  # (1, 1, t, max_len)
     mask = causal & key_mask[:, None, None, :].astype(bool)
 
+    def write(buf, val):
+        # single-token decode into a SMALL cache: broadcast select over a
+        # position mask beats dynamic_update_slice at a traced offset (7.6
+        # -> 6.0 ms/tick, llama-1b bs-8 maxlen-288). The select rewrites the
+        # whole buffer though (~2x cache traffic), so big caches keep dus:
+        # at bf16 maxlen-1024 the select REGRESSES 671 -> 467 tok/s while
+        # int8 (half the bytes) still gains (698 -> 744). Gate on bytes.
+        val = val.astype(buf.dtype)
+        if t == 1 and buf.nbytes <= _WHERE_WRITE_MAX_BYTES:
+            wp = jax.lax.broadcasted_iota(jnp.int32, (max_len,), 0) == start
+            wm = wp[None, None, :, None] if buf.ndim == 4 else wp[None, None, :]
+            return jnp.where(wm, val, buf)
+        idx = (0, 0, start) + (0,) * (buf.ndim - 3)
+        return jax.lax.dynamic_update_slice(buf, val, idx)
+
     new_cache = []
     for i in range(cfg.num_hidden_layers):
         lp = params["layers"][str(i)]
@@ -528,24 +550,16 @@ def forward_with_cache(
             kq, ks = _quantize_kv_block(k)
             vq, vs = _quantize_kv_block(v)
             layer_cache = {
-                "k": jax.lax.dynamic_update_slice(cache[i]["k"], kq, (0, 0, start, 0)),
-                "v": jax.lax.dynamic_update_slice(cache[i]["v"], vq, (0, 0, start, 0)),
-                "k_scale": jax.lax.dynamic_update_slice(
-                    cache[i]["k_scale"], ks, (0, 0, start)
-                ),
-                "v_scale": jax.lax.dynamic_update_slice(
-                    cache[i]["v_scale"], vs, (0, 0, start)
-                ),
+                "k": write(cache[i]["k"], kq),
+                "v": write(cache[i]["v"], vq),
+                "k_scale": write(cache[i]["k_scale"], ks),
+                "v_scale": write(cache[i]["v_scale"], vs),
             }
             k_scale, v_scale = layer_cache["k_scale"], layer_cache["v_scale"]
         else:
             layer_cache = {
-                "k": jax.lax.dynamic_update_slice(
-                    cache[i]["k"], k.astype(cache[i]["k"].dtype), (0, 0, start, 0)
-                ),
-                "v": jax.lax.dynamic_update_slice(
-                    cache[i]["v"], v.astype(cache[i]["v"].dtype), (0, 0, start, 0)
-                ),
+                "k": write(cache[i]["k"], k),
+                "v": write(cache[i]["v"], v),
             }
             k_scale = v_scale = None
         new_cache.append(layer_cache)
@@ -581,13 +595,17 @@ def forward_decode_ragged(
     its K/V at ``lengths[b]`` and attends to cache slots
     ``< lengths[b] + 1``. Returns (logits (B, vocab), updated cache).
 
-    The per-slot write is a broadcast ``where`` over a position mask, NOT a
-    batched scatter: TPU scatters serialize, and the select fuses into the
-    cache traffic the attention already pays — measured 10.8 -> 6.0 ms/tick
-    (llama-1b, pool 8, max_len 288, v5e-1), bit-identical results."""
+    While the cache buffer is small (<= _WHERE_WRITE_MAX_BYTES) the per-slot
+    write is a broadcast ``where`` over a position mask, NOT a batched
+    scatter: TPU scatters serialize, and the select fuses into the cache
+    traffic the attention already pays — measured 10.8 -> 6.0 ms/tick
+    (llama-1b, pool 8, max_len 288, v5e-1), bit-identical results. Big
+    buffers fall back to the scatter (the select's full-buffer rewrite
+    stops paying for itself, same crossover as ``forward_with_cache``)."""
     b = tokens.shape[0]
     max_len = cache[0]["k"].shape[2]
     nh, kvh, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
+    bidx = jnp.arange(b)
 
     x = params["embed"]["embedding"][tokens][:, None]  # (B, 1, h)
     cos, sin = rope_tables(lengths[:, None], hd, cfg.rope_theta)
@@ -596,9 +614,14 @@ def forward_decode_ragged(
     # lands at lengths[b])
     k_pos = jax.lax.broadcasted_iota(jnp.int32, (b, max_len), 1)
     mask = (k_pos <= lengths[:, None])[:, None, None, :]  # (B, 1, 1, max_len)
-    write = k_pos == lengths[:, None]  # (B, max_len): slot b's write position
-    wm = write[:, None, :, None]  # for (B, kvh, T, hd) buffers
-    wm_s = write[:, None, :]  # for (B, kvh, T) scale sidecars
+    wpos = k_pos == lengths[:, None]  # (B, max_len): slot b's write position
+
+    def write(buf, val):
+        # val is (B, kvh, 1[, hd]) — one new position per slot
+        if buf.nbytes <= _WHERE_WRITE_MAX_BYTES:
+            wm = wpos[:, None, :, None] if buf.ndim == 4 else wpos[:, None, :]
+            return jnp.where(wm, val.astype(buf.dtype), buf)
+        return buf.at[bidx, :, lengths].set(val[:, :, 0].astype(buf.dtype))
 
     new_cache = []
     for i in range(cfg.num_hidden_layers):
@@ -615,19 +638,17 @@ def forward_decode_ragged(
         if quantized:
             kq, ks = _quantize_kv_block(k)
             vq, vs = _quantize_kv_block(v)
-            # (B, kvh, 1[, hd]) new values broadcast over T under the mask
             layer_cache = {
-                "k": jnp.where(wm, kq, cache[i]["k"]),
-                "v": jnp.where(wm, vq, cache[i]["v"]),
-                "k_scale": jnp.where(wm_s, ks, cache[i]["k_scale"]),
-                "v_scale": jnp.where(wm_s, vs, cache[i]["v_scale"]),
+                "k": write(cache[i]["k"], kq),
+                "v": write(cache[i]["v"], vq),
+                "k_scale": write(cache[i]["k_scale"], ks),
+                "v_scale": write(cache[i]["v_scale"], vs),
             }
             k_scale, v_scale = layer_cache["k_scale"], layer_cache["v_scale"]
         else:
-            cdt = cache[i]["k"].dtype
             layer_cache = {
-                "k": jnp.where(wm, k.astype(cdt), cache[i]["k"]),
-                "v": jnp.where(wm, v.astype(cdt), cache[i]["v"]),
+                "k": write(cache[i]["k"], k),
+                "v": write(cache[i]["v"], v),
             }
             k_scale = v_scale = None
         new_cache.append(layer_cache)
