@@ -46,6 +46,13 @@ def _bucket(n: int, buckets: tuple[int, ...]) -> int:
     raise ValueError(f"prompt length {n} exceeds the largest bucket {buckets[-1]}")
 
 
+def _next_pow2(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 def _cache_shardings(mesh, cache):
     """KV-head axis (axis 1 of every (B, kvh, T[, hd]) buffer) over the
     ``model`` mesh axis; batch/positions replicated (slots are host-managed)."""
@@ -244,6 +251,11 @@ class GenerationServer:
         self._next_id += 1
         if len(prompt_ids) + max_new_tokens > self.max_len:
             raise ValueError("prompt + budget exceeds max_len")
+        if len(prompt_ids) > self.buckets[-1]:
+            # auto-extend the bucket ladder (one extra prefill compile) so a
+            # long prompt degrades to a compile, not an error
+            b = min(_next_pow2(len(prompt_ids)), self.max_len)
+            self.buckets = self.buckets + (b,)
         self.pending.append((rid, (list(prompt_ids), max_new_tokens, temperature)))
         return rid
 

@@ -371,13 +371,41 @@ def main(argv=None):
     p.add_argument("--model-name", type=str, default="roberta-base")
     p.add_argument("--eval-every", type=int, default=4000)
     p.add_argument("--num-epochs", type=int, default=30)
+    p.add_argument("--synthetic-data", action="store_true",
+                   help="random-init model + synthetic separable batches "
+                        "(offline smoke; no HF downloads)")
+    p.add_argument("--synthetic-steps", type=int, default=30)
     args = p.parse_args(argv)
     cfg = GlueConfig(**{f.name: getattr(args, f.name) for f in dc.fields(GlueConfig)})
     cfg.is_regression = cfg.task == "stsb"
 
+    model_cfg = roberta_lib.ROBERTA_CONFIGS[args.model_name]
+    if args.synthetic_data:
+        import json as _json
+
+        trainer = build_roberta_glue_trainer(cfg, model_cfg)
+
+        def batches(n, seed):
+            rng = np.random.default_rng(seed)
+            for _ in range(n):
+                ids = rng.integers(2, model_cfg.vocab_size, (cfg.batch_size, cfg.max_length))
+                yield {
+                    "input_ids": jnp.asarray(ids),
+                    "attention_mask": jnp.asarray(np.ones_like(ids)),
+                    # separable rule so the loop demonstrably learns
+                    "labels": jnp.asarray((ids[:, 0] < model_cfg.vocab_size // 2).astype(np.int64)),
+                }
+
+        losses = [
+            float(trainer.step(b["input_ids"], b["attention_mask"], b["labels"]))
+            for b in batches(args.synthetic_steps, cfg.seed)
+        ]
+        metrics = trainer.evaluate(batches(4, cfg.seed + 1))
+        print(_json.dumps({"final_loss": losses[-1], **{k: float(v) for k, v in metrics.items()}}))
+        return
+
     from transformers import AutoTokenizer, RobertaForSequenceClassification
 
-    model_cfg = roberta_lib.ROBERTA_CONFIGS[args.model_name]
     hf = RobertaForSequenceClassification.from_pretrained(args.model_name)
     tokenizer = AutoTokenizer.from_pretrained(args.model_name)
     trainer = build_roberta_glue_trainer(cfg, model_cfg, pretrained_state_dict=hf.state_dict())

@@ -144,6 +144,30 @@ class TestEvalHarness:
         assert 0.0 <= out["accuracy"] <= 1.0
         assert len(out["outputs"]) == 5
 
+    def test_sorted_batching_preserves_outputs_and_order(self):
+        """Length-sorted batching must not change any prediction and must
+        return outputs in dataset order."""
+        from sow_tpu.models import init_params
+
+        model_cfg = get_config("llama_test")
+        params = init_params(jax.random.PRNGKey(0), model_cfg)
+        tok = StubTokenizer(vocab_size=model_cfg.vocab_size)
+        records = [
+            {"instruction": "w " * (1 + (7 * i) % 5) + f"q{i}", "answer": "true"}
+            for i in range(6)
+        ]
+        a = evaluate_commonsense(
+            params, model_cfg, tok, records,
+            EvalConfig(dataset="boolq", batch_size=2, max_new_tokens=4,
+                       num_beams=1, sort_by_length=False),
+        )
+        b = evaluate_commonsense(
+            params, model_cfg, tok, records,
+            EvalConfig(dataset="boolq", batch_size=2, max_new_tokens=4,
+                       num_beams=1, sort_by_length=True),
+        )
+        assert [o["raw"] for o in a["outputs"]] == [o["raw"] for o in b["outputs"]]
+
     def test_server_engine_matches_batch_greedy(self):
         """engine='server' (continuous batching) must produce the same
         predictions as the fixed-batch greedy path."""

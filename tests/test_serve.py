@@ -118,6 +118,17 @@ class TestGenerationServer:
         # power of two <= pool size
         assert all(b in (8, 16) and g in (1, 2, 4) for b, g in srv._prefill)
 
+    def test_long_prompt_extends_buckets(self):
+        """A prompt longer than every configured bucket auto-extends the
+        ladder instead of raising, and still decodes correctly."""
+        rng = np.random.RandomState(8)
+        p = list(rng.randint(2, CFG.vocab_size, 25))  # > largest bucket (16)
+        srv = self._server()
+        rid = srv.submit(p, max_new_tokens=4)
+        out = srv.run()
+        assert out[rid] == isolated_greedy(p, 4)
+        assert srv.buckets[-1] == 32
+
     def test_sharded_server_matches_unsharded(self):
         """Multi-chip serving: a TP(+fsdp)-sharded server on the 8-device
         virtual mesh produces token-identical outputs."""
