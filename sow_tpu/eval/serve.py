@@ -202,6 +202,7 @@ class GenerationServer:
         cache_dtype=None,
         prompt_buckets: tuple[int, ...] = (32, 64, 128, 256),
         decode_chunk: int = 8,
+        drain_chunk: int = 32,
         sample_seed: int = 0,
         mesh=None,
     ):
@@ -238,6 +239,16 @@ class GenerationServer:
         # config, so every server with the same (cfg, chunk, eos, seed)
         # shares compiles — restarting a server must not recompile the engine
         self._decode = _make_decode(cfg, decode_chunk, eos_token_id, sample_seed)
+        # drain mode: with nothing pending there is no reason to come back
+        # to the host every `decode_chunk` ticks — a longer chunk amortizes
+        # the per-chunk dispatch+sync (~32 ms vs 46 ms of compute at 1b
+        # pool-8 on the tunneled chip) over 4x the tokens
+        self.drain_chunk = max(drain_chunk, decode_chunk)
+        self._decode_long = (
+            _make_decode(cfg, self.drain_chunk, eos_token_id, sample_seed)
+            if self.drain_chunk > decode_chunk
+            else self._decode
+        )
         self._prefill = {}  # (bucket, group) -> jitted fn (from _make_prefill)
 
     # -- public API --------------------------------------------------------
@@ -334,6 +345,14 @@ class GenerationServer:
         )
         if not np.any(active & (budget > 0)):
             return  # every occupied slot already has its budget (retire next)
+        # drain mode: queue empty and the longest-remaining slot spans the
+        # long chunk, so no admission is delayed and no tick runs all-idle
+        live = budget[active & (budget > 0)]
+        decode = (
+            self._decode_long
+            if not self.pending and live.size and int(live.max()) >= self.drain_chunk
+            else self._decode
+        )
         start = self.lengths.copy()
         # one packed upload per chunk: [tokens, lengths, active, budget,
         # temps, counter] as float32 rows (ints < 2^24 are float32-exact)
@@ -346,7 +365,7 @@ class GenerationServer:
             np.full(self.max_batch, self._chunk_counter, np.float32),
         ])
         self._chunk_counter += 1
-        out, self.cache = self._decode(self.params, self.cache, jnp.asarray(packed))
+        out, self.cache = decode(self.params, self.cache, jnp.asarray(packed))
         out = np.asarray(out)  # (chunk+1, B) — ONE host sync per chunk
         toks = out[:-1]
         self.lengths = out[-1].astype(np.int32)

@@ -142,3 +142,17 @@ class TestGenerationServer:
         out = srv.run()
         for rid, p in zip(rids, prompts):
             assert out[rid] == isolated_greedy(p, 6), rid
+
+    def test_sharded_int8_server(self):
+        """TP-sharded serving composes with the int8 KV cache (scale
+        sidecars shard over the same kv-head axis)."""
+        from sow_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=4, model=2)
+        rng = np.random.RandomState(9)
+        prompts = [list(rng.randint(2, CFG.vocab_size, n)) for n in (6, 12)]
+        srv = self._server(mesh=mesh, cache_dtype=jnp.int8)
+        rids = [srv.submit(p, max_new_tokens=5) for p in prompts]
+        out = srv.run()
+        for rid, p in zip(rids, prompts):
+            assert out[rid] == isolated_greedy(p, 5), rid
