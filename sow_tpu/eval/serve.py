@@ -271,9 +271,9 @@ class GenerationServer:
         return rid
 
     def step(self) -> dict[int, list]:
-        """Admit pending prompts into free slots, run ONE decode tick for all
-        active slots, retire finished ones. Returns {request_id: tokens}
-        newly finished this tick."""
+        """Admit pending prompts into free slots, run ONE decode chunk for
+        all active slots, retire finished ones. Returns {request_id: tokens}
+        newly finished this chunk."""
         self._admit()
         if not any(s is not None for s in self.slots):
             return {}

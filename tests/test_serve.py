@@ -118,6 +118,17 @@ class TestGenerationServer:
         # power of two <= pool size
         assert all(b in (8, 16) and g in (1, 2, 4) for b, g in srv._prefill)
 
+    def test_drain_mode_long_chunks_match(self):
+        """Budgets spanning drain_chunk switch to the long decode chunk once
+        the queue drains; outputs still match isolated greedy decodes."""
+        rng = np.random.RandomState(10)
+        prompts = [list(rng.randint(2, CFG.vocab_size, n)) for n in (5, 9)]
+        srv = self._server(max_len=96, decode_chunk=4, drain_chunk=16)
+        rids = [srv.submit(p, max_new_tokens=40) for p in prompts]
+        out = srv.run()
+        for rid, p in zip(rids, prompts):
+            assert out[rid] == isolated_greedy(p, 40), rid
+
     def test_long_prompt_extends_buckets(self):
         """A prompt longer than every configured bucket auto-extends the
         ladder instead of raising, and still decodes correctly."""
