@@ -395,3 +395,110 @@ class GenerationServer:
                 self.last_token[i] = 0
                 self.temps[i] = 0.0
         return done
+
+
+def main(argv=None):
+    """Serving CLI: JSONL requests in, JSONL completions out (streamed as
+    they finish — the user-facing face of the continuous-batching engine).
+
+    Request lines: {"prompt": "text"} or {"prompt_ids": [...]}, optional
+    "id", "max_new_tokens", "temperature". Results keep request order ids:
+    {"id": ..., "token_ids": [...], "text": ...}.
+
+        python -m sow_tpu.eval.serve --base-model llama_7b \
+            --checkpoint ./trained --input requests.jsonl
+    """
+    import argparse
+    import json
+    import sys
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--base-model", type=str, default="llama_test")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="SoW checkpoint dir (keep-mode surgery at --rank); "
+                        "omit for a randomly initialized model (demo)")
+    p.add_argument("--rank", type=int, default=10)
+    p.add_argument("--tokenizer", type=str, default="byte")
+    p.add_argument("--input", type=str, default="-",
+                   help="JSONL request file, '-' for stdin")
+    p.add_argument("--pool", type=int, default=8)
+    p.add_argument("--max-len", type=int, default=512)
+    p.add_argument("--max-new-tokens", type=int, default=32)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--int8-kv-cache", action="store_true")
+    p.add_argument("--decode-chunk", type=int, default=8)
+    p.add_argument("--mesh-data", type=int, default=-1)
+    p.add_argument("--mesh-fsdp", type=int, default=1)
+    p.add_argument("--mesh-model", type=int, default=1)
+    args = p.parse_args(argv)
+
+    from sow_tpu.data.byte_tokenizer import load_tokenizer_or_byte
+    from sow_tpu.models import get_config, init_params
+
+    cfg = get_config(args.base_model)
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if args.checkpoint:
+        from sow_tpu.checkpoint import latest_checkpoint, restore_params
+        from sow_tpu.models import llama as _ll
+        from sow_tpu.nn import SoWConfig, prepare_sow
+
+        params = prepare_sow(
+            params,
+            SoWConfig(target_modules=_ll.LLAMA_FINETUNE_TARGET_MODULES,
+                      rank=args.rank, decompose="keep"),
+            jax.random.PRNGKey(1),
+        )
+        params, _ = restore_params(
+            params, latest_checkpoint(args.checkpoint) or args.checkpoint
+        )
+    tok = load_tokenizer_or_byte(args.tokenizer)
+
+    mesh = None
+    if args.mesh_fsdp * args.mesh_model > 1 or args.mesh_data > 1:
+        from sow_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp,
+                         model=args.mesh_model)
+
+    srv = GenerationServer(
+        params, cfg, max_batch=args.pool, max_len=args.max_len,
+        eos_token_id=tok.eos_token_id,
+        cache_dtype=jnp.int8 if args.int8_kv_cache else None,
+        decode_chunk=args.decode_chunk, mesh=mesh,
+    )
+
+    stream = sys.stdin if args.input == "-" else open(args.input)
+    rid_to_user = {}
+    with stream:
+        for line in stream:
+            line = line.strip()
+            if not line:
+                continue
+            req = json.loads(line)
+            ids = req.get("prompt_ids") or tok(req["prompt"])["input_ids"]
+            rid = srv.submit(
+                ids,
+                max_new_tokens=int(req.get("max_new_tokens", args.max_new_tokens)),
+                temperature=float(req.get("temperature", args.temperature)),
+            )
+            rid_to_user[rid] = req.get("id", rid)
+            # stream completions while the pool is saturated
+            if not any(s is None for s in srv.slots):
+                for got_rid, toks in srv.step().items():
+                    _emit(tok, rid_to_user, got_rid, toks)
+    while srv.pending or any(s is not None for s in srv.slots):
+        for got_rid, toks in srv.step().items():
+            _emit(tok, rid_to_user, got_rid, toks)
+
+
+def _emit(tok, rid_to_user, rid, token_ids):
+    import json
+    import sys
+
+    text = tok.decode(token_ids, skip_special_tokens=True)
+    print(json.dumps({"id": rid_to_user[rid], "token_ids": token_ids, "text": text}))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--wandb-project", type=str, default=None)
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler trace of steps 10-15 here")
+    p.add_argument("--memory-profile", type=str, default=None,
+                   help="dump a pprof device-memory profile at update 10 "
+                        "(the --monitor_memory CUDA-snapshot analogue, ref "
+                        "simple_train.py:590-591)")
     p.add_argument("--prefetch", type=int, default=2,
                    help="batches prefetched + device_put on a background "
                         "thread (0 disables); overlaps host data work with "
@@ -151,6 +155,12 @@ def _run(args):
         if step == 10:
             # optimizer-HBM probe at update 10 (ref simple_train.py:634-641)
             logger.log(step, **{"memory": device_memory_stats()})
+            if args.memory_profile:
+                import jax.profiler as _prof
+
+                float(metrics["loss"])  # settle enqueued work first
+                _prof.save_device_memory_profile(args.memory_profile)
+                print(f"device memory profile -> {args.memory_profile}")
 
         if step % args.logging_steps == 0:
             float(metrics["loss"])  # sync: dispatch is async, so the timing

@@ -1,6 +1,8 @@
 """Continuous-batching server tests: outputs must match isolated greedy
 decodes regardless of admission order / slot reuse."""
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -153,6 +155,27 @@ class TestGenerationServer:
         out = srv.run()
         for rid, p in zip(rids, prompts):
             assert out[rid] == isolated_greedy(p, 6), rid
+
+    def test_cli_jsonl(self, tmp_path, capsys):
+        """The serving CLI reads JSONL requests and emits one JSONL result
+        per request with the submitted id."""
+        from sow_tpu.eval import serve as serve_mod
+
+        reqs = tmp_path / "r.jsonl"
+        reqs.write_text(
+            '{"id": "x", "prompt_ids": [5, 6, 7]}\n'
+            '{"id": "y", "prompt_ids": [9, 10], "max_new_tokens": 2}\n'
+        )
+        serve_mod.main([
+            "--base-model", "llama_test", "--input", str(reqs),
+            "--max-new-tokens", "4", "--pool", "2", "--max-len", "32",
+            "--tokenizer", "byte",
+        ])
+        out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        by_id = {r["id"]: r for r in out}
+        assert set(by_id) == {"x", "y"}
+        assert 1 <= len(by_id["x"]["token_ids"]) <= 4  # eos may cut early
+        assert 1 <= len(by_id["y"]["token_ids"]) <= 2
 
     def test_sharded_int8_server(self):
         """TP-sharded serving composes with the int8 KV cache (scale
