@@ -10,12 +10,13 @@ This engine keeps a fixed pool of ``max_batch`` slots and interleaves:
     ``group`` requests (prompt lengths bucketed to powers of two, group
     sizes likewise, so compiles stay bounded at buckets x log2(pool));
   * **decode**: one fused call advances ALL active slots — each at its own
-    position — via ``models/llama.py::forward_decode_ragged`` (batched
-    K/V scatter at per-slot write indices, per-slot causal masks). Decoding
-    runs ``decode_chunk`` ticks per host round-trip as one ``lax.scan``
-    (multi-step scheduling): slots hitting EOS or their budget deactivate
-    *inside* the chunk, so one device call + one host sync covers up to
-    ``decode_chunk`` tokens per slot instead of one;
+    position — via ``models/llama.py::forward_decode_ragged`` (per-slot
+    K/V write positions + causal masks; select- or scatter-based write
+    picked by buffer size). Decoding runs ``decode_chunk`` ticks per host
+    round-trip as one ``lax.scan`` (multi-step scheduling): slots hitting
+    EOS or their budget deactivate *inside* the chunk, so one device call
+    + one host sync covers up to ``decode_chunk`` tokens per slot instead
+    of one (and 4x that in drain mode, once the queue empties);
   * **retire**: finished slots free at chunk boundaries and the next
     pending prompt takes over the slot.
 
