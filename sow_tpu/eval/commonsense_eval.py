@@ -99,6 +99,24 @@ class EvalConfig:
         return jnp.int8 if self.int8_kv_cache else None
 
 
+def _pad_to_bucket(ids, mask, pad_id):
+    """Extend left-padding to the next power-of-two length (jit-signature
+    bounding; positions come from the mask, so results are unchanged)."""
+    t0 = ids.shape[1]
+    b = 1
+    while b < t0:
+        b *= 2
+    if b == t0:
+        return ids, mask
+    ids = np.concatenate(
+        [np.full((ids.shape[0], b - t0), pad_id, ids.dtype), ids], axis=1
+    )
+    mask = np.concatenate(
+        [np.zeros((mask.shape[0], b - t0), mask.dtype), mask], axis=1
+    )
+    return ids, mask
+
+
 def _server_generate(params, model_cfg, tokenized, cfg: EvalConfig, eos_id):
     """All records through one continuous-batching server; returns generated
     token lists in submission order."""
@@ -136,52 +154,52 @@ def evaluate_commonsense(
     pad_id = tokenizer.pad_token_id or 0
     eos_id = tokenizer.eos_token_id
 
-    if cfg.engine == "server" and decode_fn is None:
-        if cfg.num_beams > 1:
-            raise ValueError("engine='server' is greedy-only (num_beams=1)")
-        prompts = [generate_prompt(r, include_output=False) for r in records]
-        tokenized = [tokenizer(p)["input_ids"] for p in prompts]
-        gens = _server_generate(params, model_cfg, tokenized, cfg, eos_id)
-        for rec, gen in zip(records, gens):
-            text = tokenizer.decode(gen, skip_special_tokens=True)
-            pred = extract_answer(cfg.dataset, extract_response("### Response:" + text))
-            label = str(rec["answer"]).strip()
-            ok = pred == label
-            correct += int(ok)
-            outputs.append({"prediction": pred, "answer": label, "correct": ok, "raw": text})
-        n = len(records)
-        return {"accuracy": correct / n if n else 0.0, "n": n, "outputs": outputs}
-
     all_tok = [
         tokenizer(generate_prompt(r, include_output=False))["input_ids"]
         for r in records
     ]
-    order = (
-        sorted(range(len(records)), key=lambda i: len(all_tok[i]))
-        if cfg.sort_by_length
-        else list(range(len(records)))
-    )
-    texts_by_idx: dict[int, str] = {}
-    for i in range(0, len(order), cfg.batch_size):
-        idxs = order[i : i + cfg.batch_size]
-        ids, mask = left_pad([all_tok[j] for j in idxs], pad_id)
-        if decode_fn is not None:
-            gen = decode_fn(jnp.asarray(ids), jnp.asarray(mask))
-        elif cfg.num_beams > 1:
-            gen = beam_generate(
-                params, jnp.asarray(ids), jnp.asarray(mask), model_cfg,
-                max_new_tokens=cfg.max_new_tokens, num_beams=cfg.num_beams,
-                eos_token_id=eos_id, cache_dtype=cfg.cache_dtype,
-            )
-        else:
-            gen = greedy_generate(
-                params, jnp.asarray(ids), jnp.asarray(mask), model_cfg,
-                max_new_tokens=cfg.max_new_tokens, eos_token_id=eos_id,
-                cache_dtype=cfg.cache_dtype,
-            )
-        texts = tokenizer.batch_decode(np.asarray(gen), skip_special_tokens=True)
-        for j, text in zip(idxs, texts):
-            texts_by_idx[j] = text
+
+    if cfg.engine == "server" and decode_fn is None:
+        if cfg.num_beams > 1:
+            raise ValueError("engine='server' is greedy-only (num_beams=1)")
+        gens = _server_generate(params, model_cfg, all_tok, cfg, eos_id)
+        texts_by_idx = {
+            j: tokenizer.decode(gen, skip_special_tokens=True)
+            for j, gen in enumerate(gens)
+        }
+    else:
+        order = (
+            sorted(range(len(records)), key=lambda i: len(all_tok[i]))
+            if cfg.sort_by_length
+            else list(range(len(records)))
+        )
+        texts_by_idx = {}
+        for i in range(0, len(order), cfg.batch_size):
+            idxs = order[i : i + cfg.batch_size]
+            ids, mask = left_pad([all_tok[j] for j in idxs], pad_id)
+            # round the padded length up to a power of two: bounds jit
+            # signatures at log2(longest) instead of one per distinct
+            # batch-max length (length-sorted batches sweep the whole
+            # length distribution)
+            ids, mask = _pad_to_bucket(ids, mask, pad_id)
+            if decode_fn is not None:
+                gen = decode_fn(jnp.asarray(ids), jnp.asarray(mask))
+            elif cfg.num_beams > 1:
+                gen = beam_generate(
+                    params, jnp.asarray(ids), jnp.asarray(mask), model_cfg,
+                    max_new_tokens=cfg.max_new_tokens, num_beams=cfg.num_beams,
+                    eos_token_id=eos_id, cache_dtype=cfg.cache_dtype,
+                )
+            else:
+                gen = greedy_generate(
+                    params, jnp.asarray(ids), jnp.asarray(mask), model_cfg,
+                    max_new_tokens=cfg.max_new_tokens, eos_token_id=eos_id,
+                    cache_dtype=cfg.cache_dtype,
+                )
+            texts = tokenizer.batch_decode(np.asarray(gen), skip_special_tokens=True)
+            for j, text in zip(idxs, texts):
+                texts_by_idx[j] = text
+
     for j, rec in enumerate(records):
         text = texts_by_idx[j]
         pred = extract_answer(cfg.dataset, extract_response("### Response:" + text))
@@ -214,7 +232,9 @@ def main(argv=None):
     p.add_argument("--base-model", type=str, default="llama_7b")
     p.add_argument("--tokenizer", type=str, default="t5-base")
     p.add_argument("--batch-size", type=int, default=16)
-    p.add_argument("--num-beams", type=int, default=4)
+    p.add_argument("--num-beams", type=int, default=None,
+                   help="default: 4 (the reference's beam width) for "
+                        "--engine batch, 1 for --engine server")
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--rank", type=int, default=10)
     p.add_argument("--int8-kv-cache", action="store_true",
@@ -238,9 +258,17 @@ def main(argv=None):
     ckpt = latest_checkpoint(args.checkpoint) or args.checkpoint
     params, _ = restore_params(params, ckpt)
 
-    from sow_tpu.data.byte_tokenizer import load_tokenizer_or_byte
+    # "byte" -> builtin (offline); an explicit HF name must load or RAISE —
+    # a silent byte fallback would score the checkpoint with the wrong
+    # vocabulary and print a meaningless accuracy
+    if args.tokenizer in (None, "byte"):
+        from sow_tpu.data.byte_tokenizer import load_tokenizer_or_byte
 
-    tok = load_tokenizer_or_byte(args.tokenizer)
+        tok = load_tokenizer_or_byte("byte")
+    else:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.tokenizer)
     if tok.pad_token_id is None:
         tok.pad_token = tok.eos_token
 
@@ -251,10 +279,14 @@ def main(argv=None):
         from sow_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp, model=args.mesh_model)
+    num_beams = args.num_beams
+    if num_beams is None:
+        num_beams = 1 if args.engine == "server" else 4
+    elif args.engine == "server" and num_beams > 1:
+        p.error("--engine server is greedy-only; drop --num-beams or use --engine batch")
     cfg = EvalConfig(
         dataset=args.dataset, batch_size=args.batch_size,
-        max_new_tokens=args.max_new_tokens,
-        num_beams=1 if args.engine == "server" else args.num_beams,
+        max_new_tokens=args.max_new_tokens, num_beams=num_beams,
         int8_kv_cache=args.int8_kv_cache, engine=args.engine, mesh=mesh,
     )
     out = evaluate_commonsense(params, model_cfg, tok, records, cfg)

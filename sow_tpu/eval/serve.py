@@ -213,7 +213,9 @@ class GenerationServer:
         self.max_len = max_len
         self.eos = eos_token_id
         self.decode_chunk = decode_chunk
-        self.buckets = tuple(b for b in prompt_buckets if b <= max_len)
+        self.buckets = tuple(b for b in prompt_buckets if b <= max_len) or (
+            min(32, max_len),  # tiny max_len: seed the ladder, auto-extends
+        )
         dtype = cache_dtype or params["embed"]["embedding"].dtype
         self.cache = llama_lib.init_cache(cfg, max_batch, max_len, dtype=dtype)
         if mesh is not None:
@@ -276,10 +278,13 @@ class GenerationServer:
         all active slots, retire finished ones. Returns {request_id: tokens}
         newly finished this chunk."""
         self._admit()
-        if not any(s is not None for s in self.slots):
-            return {}
-        self._tick()
-        return self._retire()
+        # retire BEFORE decoding: a slot whose prefill already emitted EOS
+        # (or whose budget is 1) is complete and must not decode past it
+        done = self._retire()
+        if any(s is not None for s in self.slots):
+            self._tick()
+            done.update(self._retire())
+        return done
 
     def run(self) -> dict[int, list]:
         """Drain the queue; returns all {request_id: generated tokens}."""
@@ -317,7 +322,10 @@ class GenerationServer:
                 packed[g, 2 * bucket - t : 2 * bucket] = 1
                 packed[g, 2 * bucket] = free[g]
                 packed[g, 2 * bucket + 1] = t
-                packed[g, 2 * bucket + 2] = rid
+                # rid rides a float32 row: wrap at 2^24 (float32-exact
+                # ceiling) so sampling keys stay exact; they repeat only
+                # after 16.7M requests
+                packed[g, 2 * bucket + 2] = rid % (1 << 24)
                 packed[g, 2 * bucket + 3] = temperature
             fn = self._prefill_fn(bucket, group)
             first_dev, self.cache = fn(self.params, self.cache, jnp.asarray(packed))
@@ -363,7 +371,9 @@ class GenerationServer:
             (active & (budget > 0)).astype(np.float32),
             budget.astype(np.float32),
             self.temps,
-            np.full(self.max_batch, self._chunk_counter, np.float32),
+            # counter wraps at the float32-exact ceiling (keys repeat only
+            # after 16.7M chunks)
+            np.full(self.max_batch, self._chunk_counter % (1 << 24), np.float32),
         ])
         self._chunk_counter += 1
         out, self.cache = decode(self.params, self.cache, jnp.asarray(packed))
@@ -436,6 +446,15 @@ def main(argv=None):
     from sow_tpu.data.byte_tokenizer import load_tokenizer_or_byte
     from sow_tpu.models import get_config, init_params
 
+    # "byte" -> builtin; an explicit HF name must load or RAISE (a silent
+    # byte fallback would decode with the wrong vocabulary)
+    if args.tokenizer in (None, "byte"):
+        tok = load_tokenizer_or_byte("byte")
+    else:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.tokenizer)
+
     cfg = get_config(args.base_model)
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     if args.checkpoint:
@@ -452,7 +471,6 @@ def main(argv=None):
         params, _ = restore_params(
             params, latest_checkpoint(args.checkpoint) or args.checkpoint
         )
-    tok = load_tokenizer_or_byte(args.tokenizer)
 
     mesh = None
     if args.mesh_fsdp * args.mesh_model > 1 or args.mesh_data > 1:
@@ -483,8 +501,9 @@ def main(argv=None):
                 temperature=float(req.get("temperature", args.temperature)),
             )
             rid_to_user[rid] = req.get("id", rid)
-            # stream completions while the pool is saturated
-            if not any(s is None for s in srv.slots):
+            # under queue pressure, advance the engine between reads so
+            # completions stream out while ingest continues
+            while len(srv.pending) >= srv.max_batch:
                 for got_rid, toks in srv.step().items():
                     _emit(tok, rid_to_user, got_rid, toks)
     while srv.pending or any(s is not None for s in srv.slots):

@@ -492,46 +492,24 @@ def _quantize_kv_block(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 _WHERE_WRITE_MAX_BYTES = 24 * 1024 * 1024
 
 
-def forward_with_cache(
+def _cached_forward(
     params: dict,
-    input_ids: jax.Array,  # (B, T) — prompt block (prefill) or 1 token (decode)
+    input_ids: jax.Array,  # (B, T)
     cfg: LlamaConfig,
     cache: list[dict],
-    start,  # int or traced scalar: global index of input_ids[:, 0] in the cache
-    positions: jax.Array,  # (B, T) RoPE positions (true token index, pads excluded)
-    key_mask: jax.Array,  # (B, max_len) — 1 for attendable cache slots
+    positions: jax.Array,  # (B, T) RoPE positions
+    mask: jax.Array,  # (B|1, 1, T, max_len) attention mask over cache slots
+    write,  # write(buf, new_vals) -> buf with this block's K/V inserted
 ) -> tuple[jax.Array, list[dict]]:
-    """Unified prefill/decode forward: writes this block's K/V into the cache
-    at ``start`` and attends over ``cache[:, :, :start+T]`` under
-    ``key_mask`` + causality. Returns (logits, updated cache)."""
+    """Shared decoder stack for every cache path: the uniform prefill/decode
+    (``forward_with_cache``) and the ragged per-slot decode
+    (``forward_decode_ragged``) differ ONLY in mask/position/write
+    construction, which callers pass in."""
     b, t = input_ids.shape
-    max_len = cache[0]["k"].shape[2]
     nh, kvh, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
 
     x = params["embed"]["embedding"][input_ids]
     cos, sin = rope_tables(positions, hd, cfg.rope_theta)
-
-    # query i (global start+i) attends cache slot j iff j <= start+i and
-    # key_mask[b, j]
-    q_pos = start + jax.lax.broadcasted_iota(jnp.int32, (t, max_len), 0)
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, max_len), 1)
-    causal = (k_pos <= q_pos)[None, None]  # (1, 1, t, max_len)
-    mask = causal & key_mask[:, None, None, :].astype(bool)
-
-    def write(buf, val):
-        # single-token decode into a SMALL cache: broadcast select over a
-        # position mask beats dynamic_update_slice at a traced offset (7.6
-        # -> 6.0 ms/tick, llama-1b bs-8 maxlen-288). The select rewrites the
-        # whole buffer though (~2x cache traffic), so big caches keep dus:
-        # at bf16 maxlen-1024 the select REGRESSES 671 -> 467 tok/s while
-        # int8 (half the bytes) still gains (698 -> 744). Gate on bytes.
-        val = val.astype(buf.dtype)
-        if t == 1 and buf.nbytes <= _WHERE_WRITE_MAX_BYTES:
-            wp = jax.lax.broadcasted_iota(jnp.int32, (max_len,), 0) == start
-            wm = wp[None, None, :, None] if buf.ndim == 4 else wp[None, None, :]
-            return jnp.where(wm, val, buf)
-        idx = (0, 0, start) + (0,) * (buf.ndim - 3)
-        return jax.lax.dynamic_update_slice(buf, val, idx)
 
     new_cache = []
     for i in range(cfg.num_hidden_layers):
@@ -582,6 +560,46 @@ def forward_with_cache(
     return logits, new_cache
 
 
+def forward_with_cache(
+    params: dict,
+    input_ids: jax.Array,  # (B, T) — prompt block (prefill) or 1 token (decode)
+    cfg: LlamaConfig,
+    cache: list[dict],
+    start,  # int or traced scalar: global index of input_ids[:, 0] in the cache
+    positions: jax.Array,  # (B, T) RoPE positions (true token index, pads excluded)
+    key_mask: jax.Array,  # (B, max_len) — 1 for attendable cache slots
+) -> tuple[jax.Array, list[dict]]:
+    """Unified prefill/decode forward: writes this block's K/V into the cache
+    at ``start`` and attends over ``cache[:, :, :start+T]`` under
+    ``key_mask`` + causality. Returns (logits, updated cache)."""
+    t = input_ids.shape[1]
+    max_len = cache[0]["k"].shape[2]
+
+    # query i (global start+i) attends cache slot j iff j <= start+i and
+    # key_mask[b, j]
+    q_pos = start + jax.lax.broadcasted_iota(jnp.int32, (t, max_len), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, max_len), 1)
+    causal = (k_pos <= q_pos)[None, None]  # (1, 1, t, max_len)
+    mask = causal & key_mask[:, None, None, :].astype(bool)
+
+    def write(buf, val):
+        # single-token decode into a SMALL cache: broadcast select over a
+        # position mask beats dynamic_update_slice at a traced offset (7.6
+        # -> 6.0 ms/tick, llama-1b bs-8 maxlen-288). The select rewrites the
+        # whole buffer though (~2x cache traffic), so big caches keep dus:
+        # at bf16 maxlen-1024 the select REGRESSES 671 -> 467 tok/s while
+        # int8 (half the bytes) still gains (698 -> 744). Gate on bytes.
+        val = val.astype(buf.dtype)
+        if t == 1 and buf.nbytes <= _WHERE_WRITE_MAX_BYTES:
+            wp = jax.lax.broadcasted_iota(jnp.int32, (max_len,), 0) == start
+            wm = wp[None, None, :, None] if buf.ndim == 4 else wp[None, None, :]
+            return jnp.where(wm, val, buf)
+        idx = (0, 0, start) + (0,) * (buf.ndim - 3)
+        return jax.lax.dynamic_update_slice(buf, val, idx)
+
+    return _cached_forward(params, input_ids, cfg, cache, positions, mask, write)
+
+
 def forward_decode_ragged(
     params: dict,
     tokens: jax.Array,  # (B,) — one new token per slot
@@ -604,11 +622,7 @@ def forward_decode_ragged(
     stops paying for itself, same crossover as ``forward_with_cache``)."""
     b = tokens.shape[0]
     max_len = cache[0]["k"].shape[2]
-    nh, kvh, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
     bidx = jnp.arange(b)
-
-    x = params["embed"]["embedding"][tokens][:, None]  # (B, 1, h)
-    cos, sin = rope_tables(lengths[:, None], hd, cfg.rope_theta)
 
     # slot b attends to cache positions <= lengths[b] (its own new token
     # lands at lengths[b])
@@ -623,50 +637,9 @@ def forward_decode_ragged(
             return jnp.where(wm, val.astype(buf.dtype), buf)
         return buf.at[bidx, :, lengths].set(val[:, :, 0].astype(buf.dtype))
 
-    new_cache = []
-    for i in range(cfg.num_hidden_layers):
-        lp = params["layers"][str(i)]
-        h = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
-        ap = lp["attn"]
-        q = linear_apply(ap["q_proj"], h).reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
-        k = linear_apply(ap["k_proj"], h).reshape(b, 1, kvh, hd).transpose(0, 2, 1, 3)
-        v = linear_apply(ap["v_proj"], h).reshape(b, 1, kvh, hd).transpose(0, 2, 1, 3)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-
-        quantized = cache[i]["k"].dtype == jnp.int8
-        if quantized:
-            kq, ks = _quantize_kv_block(k)
-            vq, vs = _quantize_kv_block(v)
-            layer_cache = {
-                "k": write(cache[i]["k"], kq),
-                "v": write(cache[i]["v"], vq),
-                "k_scale": write(cache[i]["k_scale"], ks),
-                "v_scale": write(cache[i]["v_scale"], vs),
-            }
-            k_scale, v_scale = layer_cache["k_scale"], layer_cache["v_scale"]
-        else:
-            layer_cache = {
-                "k": write(cache[i]["k"], k),
-                "v": write(cache[i]["v"], v),
-            }
-            k_scale = v_scale = None
-        new_cache.append(layer_cache)
-
-        attn = grouped_attention(
-            q, layer_cache["k"], layer_cache["v"], mask, hd,
-            k_scale=k_scale, v_scale=v_scale,
-        )
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
-        x = x + linear_apply(ap["o_proj"], attn)
-        h2 = rms_norm(x, lp["post_norm"]["scale"], cfg.rms_norm_eps)
-        x = x + _mlp(lp["mlp"], h2)
-
-    x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
-    if cfg.tie_word_embeddings:
-        logits = x @ params["embed"]["embedding"].T
-    else:
-        logits = linear_apply(params["lm_head"], x)
+    logits, new_cache = _cached_forward(
+        params, tokens[:, None], cfg, cache, lengths[:, None], mask, write
+    )
     return logits[:, 0], new_cache
 
 

@@ -76,6 +76,17 @@ class TestGenerationServer:
         out = srv.run()
         assert out[rid] == free[:3]  # stops AT the eos token
 
+    def test_eos_at_prefill_stops_immediately(self):
+        """A request whose FIRST generated token is EOS must finish with
+        just that token — not decode its whole budget past EOS."""
+        rng = np.random.RandomState(11)
+        p = list(rng.randint(2, CFG.vocab_size, 7))
+        first = isolated_greedy(p, 1)[0]
+        srv = self._server(eos_token_id=first)
+        rid = srv.submit(p, max_new_tokens=6)
+        out = srv.run()
+        assert out[rid] == [first]
+
     def test_int8_cache(self):
         rng = np.random.RandomState(4)
         prompts = [list(rng.randint(2, CFG.vocab_size, n)) for n in (5, 9)]
