@@ -218,3 +218,44 @@ def _oracle_beam(params, ids, k, steps):
         seqs = np.concatenate([seqs, tok_idx[..., None]], axis=2)
     best = np.argmax(scores, axis=1)
     return seqs[np.arange(b), best][:, t0:]
+
+
+class TestCacheWriteStrategies:
+    """The byte-gated cache-write crossover: both branches (select for small
+    buffers, dynamic-slice/scatter for big) must be token-identical. CPU
+    tests only ever see tiny buffers, so force the big-buffer branch by
+    shrinking the gate."""
+
+    def test_uniform_dus_branch_matches_select(self, monkeypatch):
+        from sow_tpu.models import llama as llama_lib
+
+        ids = jax.random.randint(jax.random.PRNGKey(21), (2, 6), 2, CFG.vocab_size)
+        mask = jnp.ones_like(ids)
+        default = greedy_generate(PARAMS, ids, mask, CFG, max_new_tokens=5)
+        monkeypatch.setattr(llama_lib, "_WHERE_WRITE_MAX_BYTES", 0)
+        jax.clear_caches()  # the gate is baked in at trace time
+        forced = greedy_generate(PARAMS, ids, mask, CFG, max_new_tokens=5)
+        jax.clear_caches()
+        assert jnp.array_equal(default, forced)
+
+    def test_ragged_scatter_branch_matches_select(self, monkeypatch):
+        from sow_tpu.eval.serve import GenerationServer
+        from sow_tpu.models import llama as llama_lib
+
+        rng = np.random.RandomState(22)
+        prompts = [list(rng.randint(2, CFG.vocab_size, n)) for n in (5, 9)]
+
+        def run():
+            srv = GenerationServer(
+                PARAMS, CFG, max_batch=2, max_len=64, prompt_buckets=(16,)
+            )
+            rids = [srv.submit(p, max_new_tokens=5) for p in prompts]
+            out = srv.run()
+            return [out[r] for r in rids]
+
+        default = run()
+        monkeypatch.setattr(llama_lib, "_WHERE_WRITE_MAX_BYTES", 0)
+        jax.clear_caches()
+        forced = run()
+        jax.clear_caches()
+        assert default == forced
