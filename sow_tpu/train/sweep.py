@@ -86,3 +86,74 @@ def run_sweep(
         with open(out_path, "a") as f:
             f.write(json.dumps(record) + "\n")
     return results
+
+
+def main(argv=None):
+    """Sweep CLI — the in-process counterpart of the reference's GPU-pool
+    fan-out (``launch_sweep.py:45-70``: product of ranks x accumulations x
+    lrs x sow_lrs):
+
+        python -m sow_tpu.train.sweep --model llama_9m --ranks 16 32 \
+            --sow-lrs 1e-3 3e-3 --steps-per-run 50 --synthetic-data
+
+    With ``--random-trials N`` the grid axes become sampling domains
+    (lists = uniform choice; two floats = log-uniform range), standing in
+    for the reference's wandb bayes sweep (``glue_sweep.py:7-16``)."""
+    import argparse
+
+    from sow_tpu.data.c4 import make_pretrain_stream
+    from sow_tpu.models import get_config
+
+    p = argparse.ArgumentParser(description="SoW hyperparameter sweep")
+    p.add_argument("--model", type=str, default="llama_9m")
+    p.add_argument("--architecture", type=str, default="sow")
+    p.add_argument("--ranks", type=int, nargs="+", default=[16, 32])
+    p.add_argument("--accumulations", type=int, nargs="+", default=[1000])
+    p.add_argument("--lrs", type=float, nargs="+", default=[1e-2])
+    p.add_argument("--sow-lrs", type=float, nargs="+", default=[1e-3])
+    p.add_argument("--steps-per-run", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--max-length", type=int, default=64)
+    p.add_argument("--random-trials", type=int, default=0,
+                   help="sample N combos from the axes instead of the grid")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic-data", action="store_true", default=False)
+    p.add_argument("--out", type=str, default="sweep_results.jsonl")
+    args = p.parse_args(argv)
+
+    axes = dict(
+        rank=args.ranks, sow_accumulation=args.accumulations,
+        lr=args.lrs, sow_lr=args.sow_lrs,
+    )
+    if args.random_trials > 0:
+        axes["lr"] = (
+            (min(args.lrs), max(args.lrs)) if len(args.lrs) > 1 else args.lrs
+        )
+        axes["sow_lr"] = (
+            (min(args.sow_lrs), max(args.sow_lrs))
+            if len(args.sow_lrs) > 1 else args.sow_lrs
+        )
+        combos = random_search(args.random_trials, seed=args.seed, **axes)
+    else:
+        combos = grid(**axes)
+
+    base = TrainConfig(
+        model=args.model, architecture=args.architecture,
+        batch_size=args.batch_size, max_length=args.max_length,
+        num_training_steps=args.steps_per_run, seed=args.seed,
+    )
+    vocab = get_config(args.model).vocab_size
+
+    def data_factory(cfg):
+        return make_pretrain_stream(
+            cfg.batch_size, cfg.max_length, vocab,
+            seed=cfg.seed, synthetic=args.synthetic_data,
+        )
+
+    results = run_sweep(base, combos, args.steps_per_run, data_factory, args.out)
+    best = min(results, key=lambda r: r["final_loss"])
+    print(json.dumps({"runs": len(results), "best": best}))
+
+
+if __name__ == "__main__":
+    main()
