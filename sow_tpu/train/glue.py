@@ -379,11 +379,23 @@ def main(argv=None):
     cfg = GlueConfig(**{f.name: getattr(args, f.name) for f in dc.fields(GlueConfig)})
     cfg.is_regression = cfg.task == "stsb"
 
-    model_cfg = roberta_lib.ROBERTA_CONFIGS[args.model_name]
+    # --model-name picks the classifier family: a roberta-* HF name, or a
+    # llama config name (llama_test/llama_60m/...) for the LLaMA path
+    # (ref run_glue.py:517-553). LLaMA requires --synthetic-data offline.
+    is_llama = args.model_name.startswith("llama")
+    if is_llama:
+        from sow_tpu.models import get_config as _get_llama_config
+
+        model_cfg = _get_llama_config(args.model_name)
+    else:
+        model_cfg = roberta_lib.ROBERTA_CONFIGS[args.model_name]
     if args.synthetic_data:
         import json as _json
 
-        trainer = build_roberta_glue_trainer(cfg, model_cfg)
+        if is_llama:
+            trainer = build_llama_glue_trainer(cfg, model_cfg)
+        else:
+            trainer = build_roberta_glue_trainer(cfg, model_cfg)
 
         def batches(n, seed):
             rng = np.random.default_rng(seed)
@@ -403,6 +415,10 @@ def main(argv=None):
         metrics = trainer.evaluate(batches(4, cfg.seed + 1))
         print(_json.dumps({"final_loss": losses[-1], **{k: float(v) for k, v in metrics.items()}}))
         return
+
+    if is_llama:
+        p.error("the llama classifier path needs a pretrained HF checkpoint; "
+                "use --synthetic-data for an offline run")
 
     from transformers import AutoTokenizer, RobertaForSequenceClassification
 
