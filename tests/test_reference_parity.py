@@ -208,7 +208,7 @@ class TestTrainingParity:
             opt.zero_grad()
             out.loss.backward()
             opt.step()
-            ref_loss = float(out.loss)
+            ref_loss = float(out.loss.detach())
 
             params, jstate, jl = jstep(params, jstate, jnp.asarray(ids))
             ours_loss = float(jl)
