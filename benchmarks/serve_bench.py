@@ -82,7 +82,7 @@ def main():
     p.add_argument("--pool", type=int, default=16)
     p.add_argument("--requests", type=int, default=64)
     p.add_argument("--int8-kv-cache", action="store_true")
-    p.add_argument("--decode-chunk", type=int, default=8)
+    p.add_argument("--decode-chunk", type=int, default=16)
     args = p.parse_args()
 
     from sow_tpu.models import get_config, init_params

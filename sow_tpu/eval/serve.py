@@ -202,7 +202,9 @@ class GenerationServer:
         eos_token_id: Optional[int] = None,
         cache_dtype=None,
         prompt_buckets: tuple[int, ...] = (32, 64, 128, 256),
-        decode_chunk: int = 8,
+        # chunk 16 measured 15% over chunk 8 at 1b pool-8 (fewer host
+        # round-trips); smaller chunks only help admission/retire latency
+        decode_chunk: int = 16,
         drain_chunk: int = 32,
         sample_seed: int = 0,
         mesh=None,
@@ -437,7 +439,7 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--int8-kv-cache", action="store_true")
-    p.add_argument("--decode-chunk", type=int, default=8)
+    p.add_argument("--decode-chunk", type=int, default=16)
     p.add_argument("--mesh-data", type=int, default=-1)
     p.add_argument("--mesh-fsdp", type=int, default=1)
     p.add_argument("--mesh-model", type=int, default=1)
