@@ -239,6 +239,12 @@ class GenerationServer:
         self._next_id = 0
         self._sample_seed = sample_seed
         self._chunk_counter = 0
+        # telemetry (see stats())
+        self._n_prefill_calls = 0
+        self._n_prefilled = 0
+        self._n_decode_ticks = 0  # device ticks: chunk length x chunks
+        self._n_generated = 0
+        self._n_completed = 0
 
         # jitted fns come from module-level lru_caches keyed on the static
         # config, so every server with the same (cfg, chunk, eos, seed)
@@ -295,6 +301,28 @@ class GenerationServer:
         out, self.finished = self.finished, {}
         return out
 
+    def stats(self) -> dict:
+        """Engine telemetry (the serving counterpart of the trainer's
+        tokens/sec logging, ref ``simple_train.py:680-694``). Utilization =
+        generated tokens / scheduled slot-ticks: the fraction of decode
+        work that produced a kept token (the rest is retired-slot idling
+        inside chunks and padding)."""
+        ticks = self._n_decode_ticks
+        return {
+            "requests_completed": self._n_completed,
+            "requests_pending": len(self.pending),
+            "slots_occupied": sum(s is not None for s in self.slots),
+            "tokens_generated": self._n_generated,
+            "decode_chunks": self._chunk_counter,
+            "decode_slot_ticks": ticks,
+            "utilization": (self._n_generated / ticks) if ticks else 0.0,
+            "prefill_calls": self._n_prefill_calls,
+            "prefill_group_fill": (
+                self._n_prefilled / (self._n_prefill_calls or 1)
+            ),
+            "compiled_prefills": len(self._prefill),
+        }
+
     # -- internals ---------------------------------------------------------
     def _admit(self):
         while self.pending:
@@ -332,6 +360,8 @@ class GenerationServer:
             fn = self._prefill_fn(bucket, group)
             first_dev, self.cache = fn(self.params, self.cache, jnp.asarray(packed))
             firsts = np.asarray(first_dev)  # one tiny sync per GROUP
+            self._n_prefill_calls += 1
+            self._n_prefilled += g_real
             for g, (rid, (prompt, max_new, temperature)) in enumerate(batch):
                 first = int(firsts[g])
                 i = free[g]
@@ -381,6 +411,7 @@ class GenerationServer:
         out, self.cache = decode(self.params, self.cache, jnp.asarray(packed))
         out = np.asarray(out)  # (chunk+1, B) — ONE host sync per chunk
         toks = out[:-1]
+        self._n_decode_ticks += toks.shape[0] * self.max_batch
         self.lengths = out[-1].astype(np.int32)
         for i, slot in enumerate(self.slots):
             if slot is None:
@@ -389,6 +420,7 @@ class GenerationServer:
             if n:
                 slot.generated.extend(int(t) for t in toks[:n, i])
                 self.last_token[i] = slot.generated[-1]
+                self._n_generated += n
 
     def _retire(self) -> dict[int, list]:
         done = {}
@@ -407,6 +439,7 @@ class GenerationServer:
                 self.lengths[i] = 0
                 self.last_token[i] = 0
                 self.temps[i] = 0.0
+                self._n_completed += 1
         return done
 
 
@@ -511,6 +544,8 @@ def main(argv=None):
     while srv.pending or any(s is not None for s in srv.slots):
         for got_rid, toks in srv.step().items():
             _emit(tok, rid_to_user, got_rid, toks)
+    # engine telemetry on stderr (stdout stays pure JSONL results)
+    print(json.dumps({"stats": srv.stats()}), file=sys.stderr)
 
 
 def _emit(tok, rid_to_user, rid, token_ids):

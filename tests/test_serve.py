@@ -167,6 +167,22 @@ class TestGenerationServer:
         for rid, p in zip(rids, prompts):
             assert out[rid] == isolated_greedy(p, 6), rid
 
+    def test_stats_telemetry(self):
+        rng = np.random.RandomState(12)
+        prompts = [list(rng.randint(2, CFG.vocab_size, n)) for n in (5, 9, 13)]
+        srv = self._server()
+        for p in prompts:
+            srv.submit(p, max_new_tokens=4)
+        srv.run()
+        s = srv.stats()
+        assert s["requests_completed"] == 3
+        assert s["requests_pending"] == 0 and s["slots_occupied"] == 0
+        # each request: 1 prefill token + 3 decode tokens
+        assert s["tokens_generated"] == 3 * 3
+        assert s["decode_chunks"] >= 1
+        assert 0.0 < s["utilization"] <= 1.0
+        assert s["prefill_calls"] >= 1 and s["prefill_group_fill"] >= 1.0
+
     def test_cli_jsonl(self, tmp_path, capsys):
         """The serving CLI reads JSONL requests and emits one JSONL result
         per request with the submitted id."""
