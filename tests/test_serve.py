@@ -204,6 +204,27 @@ class TestGenerationServer:
         assert 1 <= len(by_id["x"]["token_ids"]) <= 4  # eos may cut early
         assert 1 <= len(by_id["y"]["token_ids"]) <= 2
 
+    def test_cli_streams_under_queue_pressure(self, tmp_path, capsys):
+        """With more requests than pool slots, the CLI advances the engine
+        mid-ingest (the queue-pressure gate) and still emits every result."""
+        from sow_tpu.eval import serve as serve_mod
+
+        rng = np.random.RandomState(13)
+        lines = "".join(
+            '{"id": %d, "prompt_ids": %s}\n'
+            % (i, list(map(int, rng.randint(2, CFG.vocab_size, 4 + i))))
+            for i in range(6)
+        )
+        reqs = tmp_path / "r.jsonl"
+        reqs.write_text(lines)
+        serve_mod.main([
+            "--base-model", "llama_test", "--input", str(reqs),
+            "--max-new-tokens", "3", "--pool", "2", "--max-len", "32",
+            "--tokenizer", "byte",
+        ])
+        out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        assert sorted(r["id"] for r in out) == list(range(6))
+
     def test_sharded_int8_server(self):
         """TP-sharded serving composes with the int8 KV cache (scale
         sidecars shard over the same kv-head axis)."""
