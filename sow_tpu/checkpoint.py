@@ -180,10 +180,25 @@ def restore_opt_state(template: Any, ckpt_dir: str) -> Any:
     arrays = load_file(path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
+    unmatched = []
     for p, leaf in flat:
         key = jax.tree_util.keystr(p)
         if key in arrays and tuple(arrays[key].shape) == tuple(leaf.shape):
             leaves.append(jnp.asarray(arrays[key], leaf.dtype))
         else:
+            # 0-d leaves are frozen-group placeholders / counters that may
+            # legitimately be absent; a real moment failing to map means the
+            # resumed run silently restarts Adam from zeros — warn loudly.
+            if getattr(leaf, "ndim", 0) > 0:
+                unmatched.append(key)
             leaves.append(leaf)
+    if unmatched:
+        import warnings
+
+        warnings.warn(
+            f"restore_opt_state: {len(unmatched)}/{len(flat)} optimizer leaves "
+            f"did not match the checkpoint (kept fresh init) — first few: "
+            f"{unmatched[:5]}. Resumed training will re-warm these moments.",
+            stacklevel=2,
+        )
     return jax.tree_util.tree_unflatten(treedef, leaves)

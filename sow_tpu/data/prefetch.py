@@ -56,24 +56,31 @@ class Prefetcher:
             }
         return jax.device_put(batch, self._shardings)
 
+    def _put(self, item) -> bool:
+        """Bounded put that gives up when the consumer signalled stop — a
+        blocking put here would pin the thread (and any device-resident
+        batches) forever if the consumer abandons the iterator while the
+        queue is full."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _worker(self):
         try:
             for batch in self._src:
                 if self._stop.is_set():
                     return
                 batch = self._transfer(batch)
-                while not self._stop.is_set():
-                    try:
-                        self._q.put(batch, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if self._stop.is_set():
+                if not self._put(batch):
                     return
         except BaseException as e:  # noqa: BLE001 — propagate to consumer
-            self._q.put(("__error__", e))
+            self._put(("__error__", e))
             return
-        self._q.put(_SENTINEL)
+        self._put(_SENTINEL)
 
     def __iter__(self):
         return self

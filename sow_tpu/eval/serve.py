@@ -243,6 +243,7 @@ class GenerationServer:
         self._n_prefill_calls = 0
         self._n_prefilled = 0
         self._n_decode_ticks = 0  # device ticks: chunk length x chunks
+        self._n_occupied_ticks = 0  # ticks x slots holding a live request
         self._n_generated = 0
         self._n_completed = 0
 
@@ -269,6 +270,10 @@ class GenerationServer:
         """Queue a prompt; returns a request id (see ``finished``).
         ``temperature`` 0 = greedy; > 0 = per-slot softmax sampling
         (reproducible given the server's ``sample_seed``)."""
+        if len(prompt_ids) == 0:
+            # an empty prompt would prefill a fully-masked row and emit a
+            # garbage first token — reject it at the door
+            raise ValueError("empty prompt")
         rid = self._next_id
         self._next_id += 1
         if len(prompt_ids) + max_new_tokens > self.max_len:
@@ -303,11 +308,18 @@ class GenerationServer:
 
     def stats(self) -> dict:
         """Engine telemetry (the serving counterpart of the trainer's
-        tokens/sec logging, ref ``simple_train.py:680-694``). Utilization =
-        generated tokens / scheduled slot-ticks: the fraction of decode
-        work that produced a kept token (the rest is retired-slot idling
-        inside chunks and padding)."""
+        tokens/sec logging, ref ``simple_train.py:680-694``).
+
+        The old single ``utilization`` number mixed two different wastes, so
+        it is split:
+          * ``occupancy`` = occupied slot-ticks / scheduled slot-ticks — how
+            full the pool is (empty-slot idling; an admission problem);
+          * ``efficiency`` = kept tokens / occupied slot-ticks — how much of
+            the work done for live requests produced a kept token
+            (retired-slot idling inside chunks; a chunk-length problem).
+        ``utilization`` (= occupancy x efficiency) stays for continuity."""
         ticks = self._n_decode_ticks
+        occ = self._n_occupied_ticks
         return {
             "requests_completed": self._n_completed,
             "requests_pending": len(self.pending),
@@ -315,6 +327,9 @@ class GenerationServer:
             "tokens_generated": self._n_generated,
             "decode_chunks": self._chunk_counter,
             "decode_slot_ticks": ticks,
+            "occupied_slot_ticks": occ,
+            "occupancy": (occ / ticks) if ticks else 0.0,
+            "efficiency": (self._n_generated / occ) if occ else 0.0,
             "utilization": (self._n_generated / ticks) if ticks else 0.0,
             "prefill_calls": self._n_prefill_calls,
             "prefill_group_fill": (
@@ -412,6 +427,7 @@ class GenerationServer:
         out = np.asarray(out)  # (chunk+1, B) — ONE host sync per chunk
         toks = out[:-1]
         self._n_decode_ticks += toks.shape[0] * self.max_batch
+        self._n_occupied_ticks += toks.shape[0] * int(active.sum())
         self.lengths = out[-1].astype(np.int32)
         for i, slot in enumerate(self.slots):
             if slot is None:
@@ -529,7 +545,12 @@ def main(argv=None):
             if not line:
                 continue
             req = json.loads(line)
-            ids = req.get("prompt_ids") or tok(req["prompt"])["input_ids"]
+            # explicit membership check: an empty prompt_ids list must be
+            # rejected by submit(), not fall through to a KeyError on "prompt"
+            if "prompt_ids" in req:
+                ids = req["prompt_ids"]
+            else:
+                ids = tok(req["prompt"])["input_ids"]
             rid = srv.submit(
                 ids,
                 max_new_tokens=int(req.get("max_new_tokens", args.max_new_tokens)),

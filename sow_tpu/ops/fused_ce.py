@@ -250,7 +250,7 @@ def fused_causal_lm_loss_sharded(
 ) -> jax.Array:
     """Multi-chip fused loss: batch sharded over ``batch_axes``, vocab over
     ``model_axis`` (1-sized axes are fine — the collectives are no-ops)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     vocab_shards = mesh.shape[model_axis]
@@ -275,7 +275,7 @@ def fused_causal_lm_loss_sharded(
         mesh=mesh,
         in_specs=(P(batch_axes, None, model_axis), P(batch_axes)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(logits, labels)
 
 

@@ -231,6 +231,34 @@ def from_pipeline_params(params: dict, n_layers: int) -> dict:
     return out
 
 
+def _moments_to_standard(tree: dict, n_layers: int) -> dict:
+    """Pipeline-layout optimizer-moment tree -> standard layout.
+
+    Frozen leaves carry 0-d placeholder moments (adamw.py init), which have
+    no layer axis to unstack — they replicate per layer unchanged."""
+    out = {k: v for k, v in tree.items() if k != "stacked_layers"}
+    stacked = tree["stacked_layers"]
+    out["layers"] = {
+        str(i): jax.tree_util.tree_map(
+            lambda a, i=i: a if getattr(a, "ndim", 0) == 0 else a[i], stacked
+        )
+        for i in range(n_layers)
+    }
+    return out
+
+
+def _moments_to_pipeline(tree: dict) -> dict:
+    """Standard-layout optimizer-moment tree -> pipeline layout (0-d frozen
+    placeholders stay 0-d instead of stacking into a bogus (n,) vector)."""
+    out = {k: v for k, v in tree.items() if k != "layers"}
+    layers = tree["layers"]
+    trees = [layers[str(i)] for i in range(len(layers))]
+    out["stacked_layers"] = jax.tree_util.tree_map(
+        lambda *xs: xs[0] if getattr(xs[0], "ndim", 0) == 0 else jnp.stack(xs), *trees
+    )
+    return out
+
+
 class PipelineTrainer:
     """Pretraining with pipeline (+ data) parallelism.
 
@@ -282,6 +310,7 @@ class PipelineTrainer:
         self._tokens_dev = None
         self._tokens_base = 0
         self._step_fn = None
+        self._eval_fn = None
 
     @property
     def tokens_seen(self) -> int:
@@ -300,6 +329,7 @@ class PipelineTrainer:
         self._build_optimizer()
         self.opt_state = self.opt.init(self.params)
         self._step_fn = None
+        self._eval_fn = None
 
     def _build_optimizer(self):
         """(Re)build the grouped optimizer from the current param structure
@@ -330,6 +360,35 @@ class PipelineTrainer:
         """Params in the standard (per-layer dict) layout, for checkpoint
         export and single-device evaluation."""
         return from_pipeline_params(self.params, self.model_cfg.num_hidden_layers)
+
+    @property
+    def standard_opt_state(self):
+        """Optimizer state with moments in the standard (per-layer dict)
+        layout, so checkpoints written by a pipeline run restore cleanly into
+        the non-pipelined Trainer and vice versa (previously the moments were
+        saved under ``stacked_layers`` keypaths, which the standard trainer's
+        ``restore_opt_state`` silently dropped)."""
+        from sow_tpu.optim.adamw import GroupedAdamWState
+
+        st = self.opt_state
+        n = self.model_cfg.num_hidden_layers
+        return GroupedAdamWState(
+            step=st.step,
+            count=st.count,
+            mu=_moments_to_standard(st.mu, n),
+            nu=_moments_to_standard(st.nu, n),
+        )
+
+    def load_standard_opt_state(self, std_state) -> None:
+        """Adopt a standard-layout optimizer state (checkpoint resume)."""
+        from sow_tpu.optim.adamw import GroupedAdamWState
+
+        self.opt_state = GroupedAdamWState(
+            step=std_state.step,
+            count=std_state.count,
+            mu=_moments_to_pipeline(std_state.mu),
+            nu=_moments_to_pipeline(std_state.nu),
+        )
 
     def _microbatch(self, ids, mask):
         b, t = ids.shape
@@ -429,15 +488,23 @@ class PipelineTrainer:
         fresh = self.opt.init(self.params)
         self.opt_state = rebuild_state_after_accumulation(old_state, fresh, self.labels)
         self._step_fn = None  # param structure may have changed
+        self._eval_fn = None
 
     def evaluate(self, batches, max_tokens: int = 5_000_000):
         """Eval through the pipeline (same forward program, no grad)."""
-        model_cfg, mesh, n_stages = self.model_cfg, self.mesh, self.n_stages
+        if self._eval_fn is None:
+            # cached on self: jit caches key on function identity, so a fresh
+            # closure here would recompile the whole pipeline program at
+            # every eval interval
+            model_cfg, mesh, n_stages = self.model_cfg, self.mesh, self.n_stages
 
-        def eval_loss(params, ids_mb, mask_mb):
-            return pipeline_forward_loss(params, ids_mb, mask_mb, model_cfg, mesh, n_stages)
+            def eval_loss(params, ids_mb, mask_mb):
+                return pipeline_forward_loss(
+                    params, ids_mb, mask_mb, model_cfg, mesh, n_stages
+                )
 
-        fn = jax.jit(eval_loss)
+            self._eval_fn = jax.jit(eval_loss)
+        fn = self._eval_fn
         total, ntok, = 0.0, 0
         for batch in batches:
             ids = jnp.asarray(batch["input_ids"])

@@ -97,11 +97,13 @@ def _run(args):
         ckpt = latest_checkpoint(args.continue_from)
         if ckpt:
             if use_pp:
-                # params persist in the standard layout (interop with the
-                # non-pipelined trainer); moments restore by pipeline path
+                # params AND moments persist in the standard layout (interop
+                # with the non-pipelined trainer both directions)
                 std, state = restore_params(trainer.standard_params, ckpt)
                 trainer.load_standard(std)
-                trainer.opt_state = restore_opt_state(trainer.opt_state, ckpt)
+                trainer.load_standard_opt_state(
+                    restore_opt_state(trainer.standard_opt_state, ckpt)
+                )
             else:
                 trainer.params, state = restore_params(trainer.params, ckpt)
                 trainer.params = trainer._device_put_params(trainer.params)
@@ -182,8 +184,9 @@ def _run(args):
 
         if args.save_dir and step % args.save_every == 0:
             save_params = trainer.standard_params if use_pp else trainer.params
+            save_opt = trainer.standard_opt_state if use_pp else trainer.opt_state
             save_checkpoint(
-                args.save_dir, step, save_params, trainer.opt_state,
+                args.save_dir, step, save_params, save_opt,
                 config=dataclasses.asdict(cfg), tokens_seen=trainer.tokens_seen,
             )
 
@@ -197,8 +200,9 @@ def _run(args):
 
     if args.save_dir:
         save_params = trainer.standard_params if use_pp else trainer.params
+        save_opt = trainer.standard_opt_state if use_pp else trainer.opt_state
         save_checkpoint(
-            args.save_dir, trainer.update_step, save_params, trainer.opt_state,
+            args.save_dir, trainer.update_step, save_params, save_opt,
             config=dataclasses.asdict(cfg), tokens_seen=trainer.tokens_seen,
         )
     print(json.dumps({"final_step": trainer.update_step, "tokens_seen": trainer.tokens_seen}))

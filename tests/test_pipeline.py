@@ -152,3 +152,61 @@ class TestPipelineTrainer:
         batches = [{"input_ids": jnp.asarray(next(data)["input_ids"])} for _ in range(2)]
         out = pp.evaluate(iter(batches), max_tokens=10_000)
         assert out["eval_loss"] > 0 and out["eval_tokens"] > 0
+        # the jitted eval program is cached on the trainer (a fresh closure
+        # per call would recompile the whole pipeline at every eval interval)
+        fn_first = pp._eval_fn
+        pp.evaluate(iter(batches), max_tokens=10_000)
+        assert pp._eval_fn is fn_first
+
+    def test_opt_state_interop_with_standard_trainer(self, tmp_path):
+        """A pipeline-saved checkpoint restores Adam moments into the
+        standard Trainer (and back): moments persist in the standard layout
+        rather than under stacked_layers keypaths, which the other trainer
+        would silently drop (zeroing mu/nu on resume)."""
+        import warnings
+
+        from sow_tpu.checkpoint import (
+            latest_checkpoint,
+            restore_opt_state,
+            save_checkpoint,
+        )
+        from sow_tpu.parallel.mesh import make_mesh
+
+        cfg = make_cfg()
+        pp = PipelineTrainer(cfg, n_stages=2, mesh=make_pipeline_mesh(1, 2, devices=jax.devices()[:2]))
+        self._losses(pp, steps=3)  # put real (nonzero) moments in the state
+        save_checkpoint(
+            str(tmp_path), 3, pp.standard_params, pp.standard_opt_state,
+        )
+        ckpt = latest_checkpoint(str(tmp_path))
+
+        # -> standard trainer: every trained moment must map (no warning)
+        ref = Trainer(cfg, mesh=make_mesh(1, 1, 1, devices=jax.devices()[:1]))
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            restored = restore_opt_state(ref.opt_state, ckpt)
+        src = {
+            jax.tree_util.keystr(p): np.asarray(l)
+            for p, l in jax.tree_util.tree_flatten_with_path(pp.standard_opt_state.mu)[0]
+        }
+        n_checked = 0
+        for p, leaf in jax.tree_util.tree_flatten_with_path(restored.mu)[0]:
+            arr = np.asarray(leaf)
+            if arr.ndim == 0:
+                continue  # frozen-group placeholder
+            np.testing.assert_allclose(arr, src[jax.tree_util.keystr(p)], rtol=1e-6)
+            if np.abs(arr).sum() > 0:
+                n_checked += 1
+        assert n_checked > 0, "no nonzero moments restored — interop is broken"
+
+        # -> back into a fresh pipeline trainer
+        pp2 = PipelineTrainer(cfg, n_stages=2, mesh=make_pipeline_mesh(1, 2, devices=jax.devices()[:2]))
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            pp2.load_standard_opt_state(restore_opt_state(pp2.standard_opt_state, ckpt))
+        for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(pp2.opt_state.mu)[0],
+            jax.tree_util.tree_flatten_with_path(pp.opt_state.mu)[0],
+        ):
+            assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
