@@ -48,6 +48,161 @@ def random_search(n_trials: int, seed: int = 0, **axes) -> list[dict[str, Any]]:
     return combos
 
 
+class TPESearch:
+    """Tree-structured Parzen Estimator over the sweep axes — the
+    model-based counterpart of the reference's wandb **bayes** sweep
+    (``glue_sweep.py:7-16``: bayes over lr/sow_lr/rank/accumulation).
+
+    Axes use the same spec language as ``random_search``: a list is a
+    categorical choice, a ``(low, high)`` float tuple is log-uniform. After
+    ``n_startup`` random trials, observations split into the best ``gamma``
+    fraction ("good") and the rest ("bad"); candidates are drawn from a
+    Parzen density fit to the good set and ranked by the density ratio
+    l(x)/g(x) (Bergstra et al. 2011), jointly across axes.
+    """
+
+    def __init__(
+        self,
+        axes: dict[str, Any],
+        seed: int = 0,
+        gamma: float = 0.25,
+        n_candidates: int = 24,
+        n_startup: int = 5,
+    ):
+        import numpy as np
+
+        self.axes = dict(axes)
+        self.rng = np.random.default_rng(seed)
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self.n_startup = n_startup
+        self.history: list[tuple[dict, float]] = []
+
+    # -- spec helpers --------------------------------------------------------
+    def _is_log_range(self, spec) -> bool:
+        return (
+            isinstance(spec, tuple)
+            and len(spec) == 2
+            and all(isinstance(v, float) for v in spec)
+        )
+
+    def _sample_prior(self, spec):
+        import numpy as np
+
+        if self._is_log_range(spec):
+            lo, hi = np.log(spec[0]), np.log(spec[1])
+            # clamp in the value domain: exp(log(x)) can overshoot by 1 ulp
+            return float(min(max(np.exp(self.rng.uniform(lo, hi)), spec[0]), spec[1]))
+        return spec[int(self.rng.integers(len(spec)))]
+
+    # -- Parzen pieces -------------------------------------------------------
+    def _numeric_kde(self, values, spec):
+        """Gaussian KDE in log-space, mixed with the uniform prior (one
+        prior pseudo-observation, per the original TPE construction) so the
+        good-model never collapses onto early lucky points."""
+        import numpy as np
+
+        lo, hi = np.log(spec[0]), np.log(spec[1])
+        pts = np.log(np.asarray(values, float))
+        bw = max(pts.std() * (len(pts) ** -0.2) if len(pts) > 1 else 0.0,
+                 (hi - lo) / 20.0)
+        prior_w = 1.0 / (len(pts) + 1)
+
+        def sample():
+            if self.rng.random() < prior_w:
+                x = np.exp(self.rng.uniform(lo, hi))
+            else:
+                c = pts[int(self.rng.integers(len(pts)))]
+                x = np.exp(np.clip(self.rng.normal(c, bw), lo, hi))
+            return float(min(max(x, spec[0]), spec[1]))
+
+        def density(x):
+            z = (np.log(x) - pts) / bw
+            kde = np.mean(np.exp(-0.5 * z * z)) / (bw * np.sqrt(2 * np.pi))
+            return float(prior_w / (hi - lo) + (1 - prior_w) * kde + 1e-12)
+
+        return sample, density
+
+    def _categorical_pmf(self, values, spec):
+        import numpy as np
+
+        counts = np.ones(len(spec), float)  # +1 smoothing prior
+        index = {self._key(v): i for i, v in enumerate(spec)}
+        for v in values:
+            counts[index[self._key(v)]] += 1.0
+        probs = counts / counts.sum()
+
+        def sample():
+            return spec[int(self.rng.choice(len(spec), p=probs))]
+
+        def density(x):
+            return float(probs[index[self._key(x)]])
+
+        return sample, density
+
+    @staticmethod
+    def _key(v):
+        return repr(v)
+
+    # -- public API -----------------------------------------------------------
+    def propose(self) -> dict[str, Any]:
+        import numpy as np
+
+        if len(self.history) < self.n_startup:
+            return {k: self._sample_prior(spec) for k, spec in self.axes.items()}
+
+        ordered = sorted(self.history, key=lambda t: t[1])
+        n_good = max(1, int(np.ceil(self.gamma * len(ordered))))
+        good = [c for c, _ in ordered[:n_good]]
+        bad = [c for c, _ in ordered[n_good:]] or good
+
+        models = {}
+        for name, spec in self.axes.items():
+            gv = [c[name] for c in good]
+            bv = [c[name] for c in bad]
+            if self._is_log_range(spec):
+                models[name] = (self._numeric_kde(gv, spec), self._numeric_kde(bv, spec))
+            else:
+                models[name] = (
+                    self._categorical_pmf(gv, spec),
+                    self._categorical_pmf(bv, spec),
+                )
+
+        best_combo, best_score = None, -np.inf
+        for _ in range(self.n_candidates):
+            combo, score = {}, 0.0
+            for name, ((g_sample, g_density), (_, b_density)) in models.items():
+                x = g_sample()
+                combo[name] = x
+                score += np.log(g_density(x)) - np.log(b_density(x))
+            if score > best_score:
+                best_combo, best_score = combo, score
+        return best_combo
+
+    def observe(self, combo: dict[str, Any], loss: float) -> None:
+        self.history.append((dict(combo), float(loss)))
+
+
+def run_adaptive_sweep(
+    base: TrainConfig,
+    strategy,
+    n_trials: int,
+    steps_per_run: int,
+    data_factory: Callable[[TrainConfig], Iterable[dict]],
+    out_path: str = "sweep_results.jsonl",
+) -> list[dict]:
+    """Sequential sweep driven by a propose/observe strategy (``TPESearch``):
+    each trial's final loss feeds the model that proposes the next combo."""
+    results = []
+    for i in range(n_trials):
+        combo = strategy.propose()
+        r = run_sweep(base, [combo], steps_per_run, data_factory, out_path)[0]
+        r["run"] = i
+        strategy.observe(combo, r["final_loss"])
+        results.append(r)
+    return results
+
+
 def run_sweep(
     base: TrainConfig,
     combos: list[dict[str, Any]],
@@ -116,6 +271,10 @@ def main(argv=None):
     p.add_argument("--max-length", type=int, default=64)
     p.add_argument("--random-trials", type=int, default=0,
                    help="sample N combos from the axes instead of the grid")
+    p.add_argument("--tpe-trials", type=int, default=0,
+                   help="model-based sequential search: N TPE trials over "
+                        "the axes (the reference's wandb bayes sweep, "
+                        "glue_sweep.py:7-16)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic-data", action="store_true", default=False)
     p.add_argument("--out", type=str, default="sweep_results.jsonl")
@@ -125,7 +284,8 @@ def main(argv=None):
         rank=args.ranks, sow_accumulation=args.accumulations,
         lr=args.lrs, sow_lr=args.sow_lrs,
     )
-    if args.random_trials > 0:
+    if args.random_trials > 0 or args.tpe_trials > 0:
+        # lists of >1 float become continuous log-uniform sampling domains
         axes["lr"] = (
             (min(args.lrs), max(args.lrs)) if len(args.lrs) > 1 else args.lrs
         )
@@ -133,9 +293,6 @@ def main(argv=None):
             (min(args.sow_lrs), max(args.sow_lrs))
             if len(args.sow_lrs) > 1 else args.sow_lrs
         )
-        combos = random_search(args.random_trials, seed=args.seed, **axes)
-    else:
-        combos = grid(**axes)
 
     base = TrainConfig(
         model=args.model, architecture=args.architecture,
@@ -150,7 +307,17 @@ def main(argv=None):
             seed=cfg.seed, synthetic=args.synthetic_data,
         )
 
-    results = run_sweep(base, combos, args.steps_per_run, data_factory, args.out)
+    if args.tpe_trials > 0:
+        strategy = TPESearch(axes, seed=args.seed)
+        results = run_adaptive_sweep(
+            base, strategy, args.tpe_trials, args.steps_per_run, data_factory, args.out
+        )
+    else:
+        if args.random_trials > 0:
+            combos = random_search(args.random_trials, seed=args.seed, **axes)
+        else:
+            combos = grid(**axes)
+        results = run_sweep(base, combos, args.steps_per_run, data_factory, args.out)
     best = min(results, key=lambda r: r["final_loss"])
     print(json.dumps({"runs": len(results), "best": best}))
 

@@ -67,12 +67,37 @@ def weight_usage(params) -> dict[str, float]:
     }
 
 
+def sow_break_even_rank(in_features: int, out_features: int, n_iter: int = 1) -> float:
+    """Rank above which the SoW factor pairs stop being smaller than the
+    dense weight: ``r* = n*m / (n_iter * (n+m))`` — the analytic frontier of
+    ``Parameters SoW Iteration.ipynb`` cell 1 (SURVEY §6 row 5)."""
+    return (in_features * out_features) / (n_iter * (in_features + out_features))
+
+
+def sow_frontier_report(params) -> list[str]:
+    """Per-shape frontier lines for the startup report: trainable-factor
+    fraction of dense and the break-even rank at the layer's n_iter."""
+    shapes: dict[tuple[int, int, int, int], int] = {}
+    for _, layer in iter_sow(params):
+        k = (layer.in_features, layer.out_features, layer.rank, layer.n_iter)
+        shapes[k] = shapes.get(k, 0) + 1
+    lines = []
+    for (n, m, r, p), count in sorted(shapes.items()):
+        frac = p * (n + m) * r / (n * m)
+        lines.append(
+            f"sow frontier: {count}x {n}x{m} r={r} n_iter={p} -> "
+            f"{frac:.1%} of dense (break-even r*={sow_break_even_rank(n, m, p):.0f})"
+        )
+    return lines
+
+
 def format_memory_report(params, opt_state=None) -> str:
     u = weight_usage(params)
     lines = [
         f"weights: total {u['total_mib']:.2f} MiB | trainable {u['trainable_mib']:.2f} MiB"
         f" | sow factors {u['sow_factors_mib']:.2f} MiB | accumulated {u['accumulated_mib']:.2f} MiB"
     ]
+    lines.extend(sow_frontier_report(params))
     if opt_state is not None:
         lines.append(f"optimizer state: {optimizer_memory_usage(opt_state) / 2**20:.2f} MiB")
     return "\n".join(lines)

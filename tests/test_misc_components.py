@@ -78,6 +78,74 @@ class TestSweep:
         assert lines[0]["combo"] == {"rank": 2}
         assert lines[1]["final_loss"] > 0
 
+    def test_tpe_beats_random_at_equal_budget(self):
+        """Model-based sweep parity (ref wandb bayes, glue_sweep.py:7-16):
+        TPE finds a better optimum than random search at the same trial
+        budget on a synthetic 4-D lr/sow_lr/rank/accumulation objective.
+        Fully deterministic (seeded numpy Generators)."""
+        from sow_tpu.train.sweep import TPESearch, random_search
+
+        axes = dict(
+            lr=(1e-4, 1e-1), sow_lr=(1e-5, 1e-2),
+            rank=[4, 8, 16, 32, 64, 128],
+            sow_accumulation=[200, 500, 1000, 2000, 5000],
+        )
+
+        def objective(c):
+            z = (np.log10(c["lr"]) + 2.5) ** 2 + (np.log10(c["sow_lr"]) + 3.5) ** 2
+            z += 0.3 * abs(np.log2(c["rank"]) - 5)  # best rank 32
+            z += 0.2 * abs(np.log10(c["sow_accumulation"]) - 3)  # best acc 1000
+            return z
+
+        budget, seeds = 40, range(10)
+        tpe_best, rnd_best = [], []
+        for seed in seeds:
+            s = TPESearch(axes, seed=seed)
+            best = np.inf
+            for _ in range(budget):
+                combo = s.propose()
+                v = objective(combo)
+                s.observe(combo, v)
+                best = min(best, v)
+            tpe_best.append(best)
+            rnd_best.append(
+                min(objective(c) for c in random_search(budget, seed=seed, **axes))
+            )
+        assert np.mean(tpe_best) < np.mean(rnd_best)
+        assert sum(t < r for t, r in zip(tpe_best, rnd_best)) >= 6
+
+    def test_tpe_respects_axis_domains(self):
+        from sow_tpu.train.sweep import TPESearch
+
+        axes = dict(lr=(1e-4, 1e-1), rank=[2, 4])
+        s = TPESearch(axes, seed=0, n_startup=3)
+        for i in range(12):
+            c = s.propose()
+            assert 1e-4 <= c["lr"] <= 1e-1
+            assert c["rank"] in (2, 4)
+            s.observe(c, float(i))
+
+    def test_run_adaptive_sweep(self, tmp_path):
+        from sow_tpu.data.synthetic import affine_stream
+        from sow_tpu.train.sweep import TPESearch, run_adaptive_sweep
+        from sow_tpu.train.trainer import TrainConfig
+
+        base = TrainConfig(
+            model="llama_test", architecture="sow", num_training_steps=10,
+            sow_accumulation=0, batch_size=8, max_length=16, dtype="float32",
+            mesh_data=-1, mesh_fsdp=1, mesh_model=1,
+        )
+        strategy = TPESearch(dict(rank=[2, 4]), seed=0, n_startup=1)
+        out = str(tmp_path / "tpe.jsonl")
+        results = run_adaptive_sweep(
+            base, strategy, n_trials=2, steps_per_run=3,
+            data_factory=lambda cfg: affine_stream(8, 16, 256, seed=0),
+            out_path=out,
+        )
+        assert len(results) == 2
+        assert len(strategy.history) == 2
+        assert all(r["final_loss"] > 0 for r in results)
+
 
 class TestDisplay:
     def test_format_tree_groups_and_colors(self):

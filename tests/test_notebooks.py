@@ -72,3 +72,82 @@ class TestReducedRankRegression:
         good = reduced_rank_regression(jax.random.PRNGKey(5), true_rank=6, fit_rank=6)
         bad = reduced_rank_regression(jax.random.PRNGKey(5), true_rank=6, fit_rank=2)
         assert bad["rrr_err"] > good["rrr_err"]
+
+
+class TestSowParameterFrontier:
+    """``Parameters SoW Iteration.ipynb`` cell 1 (SURVEY §6 row 5)."""
+
+    def test_break_even_crossover_llama_60m_shapes(self):
+        from sow_tpu.examples.notebooks import sow_parameter_frontier
+
+        out = sow_parameter_frontier(512, 1376, max_rank=200)
+        dense = out["dense_params"]
+        assert dense == 512 * 1376
+        for p, row in out["per_n_iter"].items():
+            r_star = row["break_even_rank"]
+            # analytic crossover: below r* SoW is smaller, above it larger
+            assert abs(r_star - dense / (p * (512 + 1376))) < 1e-9
+            below, above = int(np.floor(r_star)), int(np.ceil(r_star)) + 1
+            if 1 <= below <= len(row["params"]):
+                assert row["params"][below - 1] <= dense
+            if above <= len(row["params"]):
+                assert row["params"][above - 1] > dense
+        # the notebook's headline: n_iter=2 crosses near r=186 at 512x1376
+        assert 186 <= out["per_n_iter"][2]["break_even_rank"] <= 187
+
+    def test_virtual_rank_saturates_at_min_dim(self):
+        from sow_tpu.examples.notebooks import sow_parameter_frontier
+
+        out = sow_parameter_frontier(512, 1376, n_iters=(20,), max_rank=50)
+        vr = out["per_n_iter"][20]["virtual_ranks"]
+        assert vr[-1] == 512  # 20 * 50 = 1000 saturates at min(512, 1376)
+        assert vr[0] == 20
+
+    def test_memory_report_carries_frontier(self):
+        from sow_tpu.nn.sow import SoWLinear
+        from sow_tpu.utils.memory import format_memory_report, sow_break_even_rank
+
+        layer = SoWLinear.create(jax.random.PRNGKey(0), 512, 1376, rank=50, n_iter=2)
+        report = format_memory_report({"proj": layer})
+        assert "break-even r*=187" in report or "break-even r*=186" in report
+        assert abs(sow_break_even_rank(512, 1376, 2) - 186.58) < 0.01
+
+
+class TestRandomMatrixDistribution:
+    """``Random Matrix Distribution.ipynb`` — assert the orderings the
+    notebook's plots show."""
+
+    def test_best_rank_r_beats_random(self):
+        from sow_tpu.examples.notebooks import best_vs_random_low_rank
+
+        out = best_vs_random_low_rank(jax.random.PRNGKey(0), n=32, rank=4, n_trials=2000)
+        # Eckart-Young-optimal truncation essentially always beats a random
+        # rank-r Gaussian product on random probes (notebook cells 1-5)
+        assert out["best_win_fraction"] > 0.95
+        assert out["mean_offset"] < 0
+
+    def test_event_probability_near_one_at_all_ranks(self):
+        from sow_tpu.examples.notebooks import rank_event_probability
+
+        out = rank_event_probability(jax.random.PRNGKey(1), n=256, ranks=(1, 8, 64),
+                                     n_samples=20_000)
+        # the notebook's probability curve hugs 1 across the rank axis
+        for r, p in out["probs"].items():
+            assert p > 0.98, (r, p)
+        assert out["probs"][64] >= out["probs"][1] - 0.01
+
+    def test_draw_grid_matches_r2_over_n(self):
+        from sow_tpu.examples.notebooks import draw_probability_grid
+
+        out = draw_probability_grid(jax.random.PRNGKey(2), n_max=16, n_samples=4000)
+        assert out["max_abs_error"] < 0.15  # empirical ~= (r^2)/n (cells 16-18)
+
+    def test_rank_r_spectra_ordered_and_grow_with_n(self):
+        from sow_tpu.examples.notebooks import random_rank_spectrum
+
+        out = random_rank_spectrum(jax.random.PRNGKey(3), sizes=(32, 64), rank=8,
+                                   n_samples=200)
+        s32, s64 = out["mean_spectra"][32], out["mean_spectra"][64]
+        assert all(a > b for a, b in zip(s32, s32[1:]))  # strictly ordered means
+        assert all(a > b for a, b in zip(s64, s64[1:]))
+        assert s64[0] > s32[0]  # sigma_1 grows with ambient dimension
