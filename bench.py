@@ -64,12 +64,19 @@ def bench_arch(architecture: str, steps: int = 20, warmup: int = 3) -> dict:
     tokens = steps * cfg.batch_size * cfg.max_length
     # trainable / optimizer HBM accounting (ref memory_utils.py:13-27)
     from sow_tpu.utils.memory import optimizer_memory_usage
+    from sow_tpu.utils.roofline import compiled_step_cost, utilization
 
     opt_bytes = optimizer_memory_usage(trainer.opt_state)
+    # roofline: MFU + HBM-bandwidth utilization from XLA's cost analysis of
+    # the ALREADY-COMPILED step (no extra compile) against v5e peaks
+    flops, hbm_bytes = compiled_step_cost(
+        trainer._train_step_fn(), trainer.params, trainer.opt_state, ids, mask
+    )
     return {
         "tokens_per_sec": tokens / dt,
         "step_ms": dt / steps * 1e3,
         "optimizer_bytes": int(opt_bytes),
+        "roofline": utilization(flops, hbm_bytes, dt / steps),
     }
 
 
@@ -108,6 +115,14 @@ def main():
             "optimizer_mem_ratio_galore_embed": round(
                 _galore_embed_opt_bytes() / dense["optimizer_bytes"], 4
             ),
+            # roofline (VERDICT r2 #3): hardware-honest utilization numbers
+            "sow_mfu": round(sow["roofline"].get("mfu", 0.0), 4),
+            "dense_mfu": round(dense["roofline"].get("mfu", 0.0), 4),
+            "sow_hbm_util": round(sow["roofline"].get("hbm_util", 0.0), 4),
+            "dense_hbm_util": round(dense["roofline"].get("hbm_util", 0.0), 4),
+            "sow_hbm_gbps": round(sow["roofline"]["achieved_hbm_gbps"], 1),
+            "sow_tflops_per_step": round(sow["roofline"]["tflops_per_step"], 2),
+            "sow_gbytes_per_step": round(sow["roofline"]["gbytes_per_step"], 2),
             "device": str(jax.devices()[0]),
         },
     }

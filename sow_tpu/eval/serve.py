@@ -17,8 +17,19 @@ This engine keeps a fixed pool of ``max_batch`` slots and interleaves:
     EOS or their budget deactivate *inside* the chunk, so one device call
     + one host sync covers up to ``decode_chunk`` tokens per slot instead
     of one (and 4x that in drain mode, once the queue empties);
-  * **retire**: finished slots free at chunk boundaries and the next
-    pending prompt takes over the slot.
+  * **retire**: finished slots free at sync points and the next pending
+    prompt takes over the slot.
+
+**Device-resident slot state.** All per-slot scheduling state (last token,
+cache length, active flag, remaining budget, temperature, generated-token
+buffer, RNG counter) lives in device arrays that prefill and decode update
+in place (donated buffers). The host dispatches decode chunks back-to-back
+WITHOUT syncing — emitted tokens accumulate into the on-device ``out``
+buffer — and reads one packed snapshot only when a retirement is possible
+(every request's budget bounds when it can finish, so the scheduler knows
+how many ticks it may run blind; with an EOS token an optional cap bounds
+how late an early exit is noticed). On a tunneled chip this removes the
+~32 ms host round-trip that round 2 paid per 46 ms decode chunk.
 
 Everything device-side is static-shape (the pool, the caches, the step), so
 compiles are bounded (``len(buckets) * log2(pool) + 1``) regardless of
@@ -66,26 +77,46 @@ def _cache_shardings(mesh, cache):
     return jax.tree_util.tree_map(sh, cache)
 
 
+def _init_dstate(max_batch: int, max_len: int) -> dict:
+    """Device-resident per-slot scheduling state (see module docstring)."""
+    return {
+        "tok": jnp.zeros((max_batch,), jnp.int32),  # last emitted token
+        "len": jnp.zeros((max_batch,), jnp.int32),  # tokens in cache
+        "act": jnp.zeros((max_batch,), bool),  # still decoding
+        "budget": jnp.zeros((max_batch,), jnp.int32),  # decode tokens left
+        "temp": jnp.zeros((max_batch,), jnp.float32),  # 0 = greedy
+        "ngen": jnp.zeros((max_batch,), jnp.int32),  # generated so far
+        "out": jnp.zeros((max_batch, max_len), jnp.int32),  # emitted tokens
+        "ctr": jnp.zeros((), jnp.uint32),  # per-TICK RNG counter
+    }
+
+
 @lru_cache(maxsize=None)
-def _make_prefill(cfg: llama_lib.LlamaConfig, bucket: int, group: int, seed: int):
-    """Jitted grouped prefill, cached per (cfg, bucket, group, seed) across
-    ALL servers: admits up to ``group`` same-bucket prompts in ONE device
-    call. Host I/O is exactly one packed float32 upload and one (group,)
-    token download — per-transfer latency dominates on tunneled/remote
-    TPUs, so every scalar rides the same array.
+def _make_prefill(
+    cfg: llama_lib.LlamaConfig,
+    bucket: int,
+    group: int,
+    seed: int,
+    eos: Optional[int],
+):
+    """Jitted grouped prefill, cached per (cfg, bucket, group, seed, eos)
+    across ALL servers: admits up to ``group`` same-bucket prompts in ONE
+    device call with NO host download — the first token is sampled on
+    device and written straight into the device-resident slot state.
 
     ``packed`` rows: [ids(bucket) | mask(bucket) | slot | t_real | rid |
-    temperature]. First tokens are sampled ON DEVICE: Gumbel-max with
+    temperature | max_new]. First tokens: Gumbel-max with
     ``fold_in(PRNGKey(seed), rid)`` when temperature > 0, else argmax."""
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def prefill(params, cache, packed):
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def prefill(params, cache, dstate, packed):
         ids = packed[:, :bucket].astype(jnp.int32)
         mask = packed[:, bucket : 2 * bucket].astype(jnp.int32)
         slots = packed[:, 2 * bucket].astype(jnp.int32)
         t_real = packed[:, 2 * bucket + 1].astype(jnp.int32)
         rid = packed[:, 2 * bucket + 2].astype(jnp.uint32)
         temps = packed[:, 2 * bucket + 3]
+        max_new = packed[:, 2 * bucket + 4].astype(jnp.int32)
 
         # (group, bucket) prefill into a scratch cache, then copy each row's
         # real suffix LEFT-ALIGNED into its pool slot (positions [0, t_real)).
@@ -117,7 +148,26 @@ def _make_prefill(cfg: llama_lib.LlamaConfig, bucket: int, group: int, seed: int
             lg / jnp.maximum(temps, 1e-6)[:, None] + gumbel, axis=-1
         ).astype(jnp.int32)
         first = jnp.where(temps > 0, samp, greedy)
-        return first, new_cache
+
+        # scatter the admitted rows into the device slot state (mode="drop"
+        # discards padding rows, whose slot index is out of range)
+        max_len = dstate["out"].shape[1]
+        active = max_new > 1
+        if eos is not None:
+            # a first token that IS eos finishes the request at prefill
+            active = active & (first != eos)
+        row = jnp.zeros((group, max_len), jnp.int32).at[:, 0].set(first)
+        st = {
+            "tok": dstate["tok"].at[slots].set(first, mode="drop"),
+            "len": dstate["len"].at[slots].set(t_real, mode="drop"),
+            "act": dstate["act"].at[slots].set(active, mode="drop"),
+            "budget": dstate["budget"].at[slots].set(max_new - 1, mode="drop"),
+            "temp": dstate["temp"].at[slots].set(temps, mode="drop"),
+            "ngen": dstate["ngen"].at[slots].set(1, mode="drop"),
+            "out": dstate["out"].at[slots].set(row, mode="drop"),
+            "ctr": dstate["ctr"],
+        }
+        return new_cache, st
 
     return prefill
 
@@ -129,56 +179,74 @@ def _make_decode(
     """Jitted chunked-decode, cached per (cfg, chunk, eos, seed) across
     servers.
 
-    ``decode_chunk`` ragged ticks as one scan. A slot deactivates in place
-    when it emits EOS or exhausts its budget; inactive slots keep re-writing
-    their last K/V at a fixed position — junk the host never exposes (and
-    prefill fully overwrites the slot on re-admission). Slots with
-    ``temps > 0`` Gumbel-max sample; others take argmax.
+    ``decode_chunk`` ragged ticks as one scan over the device-resident slot
+    state — NO host I/O at all: emitted tokens land in ``dstate["out"]`` at
+    each slot's ``ngen`` cursor. A slot deactivates in place when it emits
+    EOS or exhausts its budget; inactive slots keep re-writing their last
+    K/V at a fixed position — junk the host never exposes (and prefill
+    fully overwrites the slot on re-admission). Slots with ``temp > 0``
+    Gumbel-max sample with a per-TICK key ``fold_in(PRNGKey(seed), ctr)``
+    (so samples are invariant to how ticks are chunked); others argmax."""
 
-    Host I/O per chunk is ONE packed float32 upload (rows: tokens, lengths,
-    active, budget, temps, chunk-counter) and ONE packed int32 download
-    (rows 0..chunk-1 = emitted tokens, row chunk = final lengths)."""
-
-    @partial(jax.jit, donate_argnums=(1,))
-    def decode(params, cache, packed):
-        tokens = packed[0].astype(jnp.int32)
-        lengths = packed[1].astype(jnp.int32)
-        active0 = packed[2] > 0
-        budget = packed[3].astype(jnp.int32)
-        temps = packed[4]
-        counter = packed[5, 0].astype(jnp.uint32)
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), counter)
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def decode(params, cache, dstate):
+        max_len = dstate["out"].shape[1]
+        rows = jnp.arange(dstate["out"].shape[0])
 
         def tick(carry, _):
-            cache, tok, lengths, active, budget, key = carry
+            cache, st = carry
             logits, cache = llama_lib.forward_decode_ragged(
-                params, tok, cfg, cache, lengths
+                params, st["tok"], cfg, cache, st["len"]
             )
             lg = logits.astype(jnp.float32)
             greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-            key, sub = jax.random.split(key)
-            gumbel = jax.random.gumbel(sub, lg.shape)
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), st["ctr"])
+            gumbel = jax.random.gumbel(key, lg.shape)
             samp = jnp.argmax(
-                lg / jnp.maximum(temps, 1e-6)[:, None] + gumbel, axis=-1
+                lg / jnp.maximum(st["temp"], 1e-6)[:, None] + gumbel, axis=-1
             ).astype(jnp.int32)
-            nxt = jnp.where(temps > 0, samp, greedy)
-            nxt = jnp.where(active, nxt, tok)
-            adv = active.astype(jnp.int32)
-            lengths = lengths + adv
-            budget = budget - adv
+            nxt = jnp.where(st["temp"] > 0, samp, greedy)
+            nxt = jnp.where(st["act"], nxt, st["tok"])
+            idx = jnp.clip(st["ngen"], 0, max_len - 1)
+            cur = st["out"][rows, idx]
+            out = st["out"].at[rows, idx].set(jnp.where(st["act"], nxt, cur))
+            adv = st["act"].astype(jnp.int32)
+            budget = st["budget"] - adv
             done = budget <= 0
             if eos is not None:
                 done = done | (nxt == eos)
-            return (cache, nxt, lengths, active & ~done, budget, key), nxt
+            new = {
+                "tok": nxt,
+                "len": st["len"] + adv,
+                "act": st["act"] & ~done,
+                "budget": budget,
+                "temp": st["temp"],
+                "ngen": st["ngen"] + adv,
+                "out": out,
+                "ctr": st["ctr"] + 1,
+            }
+            return (cache, new), None
 
-        (cache, _, lengths, active, budget, _), toks = jax.lax.scan(
-            tick, (cache, tokens, lengths, active0, budget, key), None,
-            length=decode_chunk,
+        (cache, dstate), _ = jax.lax.scan(
+            tick, (cache, dstate), None, length=decode_chunk
         )
-        out = jnp.concatenate([toks, lengths[None]], axis=0)  # (chunk+1, B)
-        return out, cache
+        return cache, dstate
 
     return decode
+
+
+@jax.jit
+def _snapshot(dstate):
+    """Pack everything the host needs for retirement into ONE int32 array
+    (single device->host transfer): [act | ngen | out...] per slot."""
+    return jnp.concatenate(
+        [
+            dstate["act"].astype(jnp.int32)[:, None],
+            dstate["ngen"][:, None],
+            dstate["out"],
+        ],
+        axis=1,
+    )
 
 
 @dataclasses.dataclass
@@ -186,8 +254,9 @@ class _Slot:
     request_id: int
     prompt_len: int
     max_new: int
-    generated: list
     temperature: float = 0.0
+    known_ngen: int = 1  # generated count at the last host sync (prefill = 1)
+    dispatched: int = 0  # decode ticks dispatched since the last sync
 
 
 class GenerationServer:
@@ -208,6 +277,7 @@ class GenerationServer:
         drain_chunk: int = 32,
         sample_seed: int = 0,
         mesh=None,
+        eos_sync_ticks: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -229,11 +299,13 @@ class GenerationServer:
             self.params = jax.device_put(params, params_shardings(mesh, params))
             self.cache = jax.device_put(self.cache, _cache_shardings(mesh, self.cache))
 
-        # host-side slot bookkeeping
+        # device-resident slot state + minimal host mirror (scheduling only)
+        self.dstate = _init_dstate(max_batch, max_len)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.dstate = jax.device_put(self.dstate, NamedSharding(mesh, P()))
         self.slots: list[Optional[_Slot]] = [None] * max_batch
-        self.lengths = np.zeros(max_batch, np.int32)  # tokens in cache per slot
-        self.last_token = np.zeros(max_batch, np.int32)
-        self.temps = np.zeros(max_batch, np.float32)  # 0 = greedy
         self.pending: list[tuple[int, list]] = []
         self.finished: dict[int, list] = {}
         self._next_id = 0
@@ -262,6 +334,11 @@ class GenerationServer:
             else self._decode
         )
         self._prefill = {}  # (bucket, group) -> jitted fn (from _make_prefill)
+        # with an EOS token a slot can finish before its budget; cap how many
+        # ticks the scheduler runs blind so early exits retire promptly
+        self.eos_sync_ticks = (
+            eos_sync_ticks if eos_sync_ticks is not None else 2 * decode_chunk
+        )
 
     # -- public API --------------------------------------------------------
     def submit(
@@ -287,16 +364,13 @@ class GenerationServer:
         return rid
 
     def step(self) -> dict[int, list]:
-        """Admit pending prompts into free slots, run ONE decode chunk for
-        all active slots, retire finished ones. Returns {request_id: tokens}
-        newly finished this chunk."""
+        """One scheduler turn: sync-and-retire if a retirement is possible,
+        admit pending prompts into free slots, dispatch ONE decode chunk
+        (without waiting for it). Returns {request_id: tokens} retired at
+        this turn's sync (empty on blind turns)."""
+        done = self._sync() if self._sync_due() else {}
         self._admit()
-        # retire BEFORE decoding: a slot whose prefill already emitted EOS
-        # (or whose budget is 1) is complete and must not decode past it
-        done = self._retire()
-        if any(s is not None for s in self.slots):
-            self._tick()
-            done.update(self._retire())
+        self._tick()
         return done
 
     def run(self) -> dict[int, list]:
@@ -358,8 +432,9 @@ class GenerationServer:
             group = 1
             while group < g_real:
                 group *= 2
-            # one packed upload per group: [ids | mask | slot, t_real, rid, temp]
-            packed = np.zeros((group, 2 * bucket + 4), np.float32)
+            # one packed upload per group:
+            # [ids | mask | slot, t_real, rid, temp, max_new]
+            packed = np.zeros((group, 2 * bucket + 5), np.float32)
             packed[:, 2 * bucket] = self.max_batch  # padding rows: OOB -> dropped
             for g, (rid, (prompt, max_new, temperature)) in enumerate(batch):
                 t = len(prompt)
@@ -372,89 +447,82 @@ class GenerationServer:
                 # after 16.7M requests
                 packed[g, 2 * bucket + 2] = rid % (1 << 24)
                 packed[g, 2 * bucket + 3] = temperature
+                packed[g, 2 * bucket + 4] = max_new
             fn = self._prefill_fn(bucket, group)
-            first_dev, self.cache = fn(self.params, self.cache, jnp.asarray(packed))
-            firsts = np.asarray(first_dev)  # one tiny sync per GROUP
+            # NO host download: the first token is sampled on device and
+            # written into the device slot state; the host learns it at the
+            # next sync
+            self.cache, self.dstate = fn(
+                self.params, self.cache, self.dstate, jnp.asarray(packed)
+            )
             self._n_prefill_calls += 1
             self._n_prefilled += g_real
             for g, (rid, (prompt, max_new, temperature)) in enumerate(batch):
-                first = int(firsts[g])
-                i = free[g]
-                self.slots[i] = _Slot(rid, len(prompt), max_new, [first], temperature)
-                self.lengths[i] = len(prompt)
-                self.last_token[i] = first
-                self.temps[i] = temperature
+                self.slots[free[g]] = _Slot(rid, len(prompt), max_new, temperature)
 
     def _prefill_fn(self, bucket: int, group: int):
         key = (bucket, group)
         if key not in self._prefill:
             self._prefill[key] = _make_prefill(
-                self.cfg, bucket, group, self._sample_seed
+                self.cfg, bucket, group, self._sample_seed, self.eos
             )
         return self._prefill[key]
 
     def _tick(self):
-        active = np.array([s is not None for s in self.slots])
-        budget = np.array(
-            [(s.max_new - len(s.generated)) if s else 0 for s in self.slots],
-            np.int32,
-        )
-        if not np.any(active & (budget > 0)):
-            return  # every occupied slot already has its budget (retire next)
+        """Dispatch one decode chunk over the device slot state WITHOUT
+        waiting for it (jax dispatch is async; donated buffers chain)."""
+        occupied = [s for s in self.slots if s is not None]
+        if not occupied:
+            return
+        # a slot's generated count after d blind ticks is
+        # min(max_new, eos point, known_ngen + d): once known_ngen +
+        # dispatched reaches max_new the slot is certainly finished and
+        # further ticks would be pure waste
+        remaining = [s.max_new - (s.known_ngen + s.dispatched) for s in occupied]
+        if max(remaining) <= 0:
+            return  # everything occupied is guaranteed finished (sync next)
         # drain mode: queue empty and the longest-remaining slot spans the
         # long chunk, so no admission is delayed and no tick runs all-idle
-        live = budget[active & (budget > 0)]
-        decode = (
-            self._decode_long
-            if not self.pending and live.size and int(live.max()) >= self.drain_chunk
-            else self._decode
-        )
-        start = self.lengths.copy()
-        # one packed upload per chunk: [tokens, lengths, active, budget,
-        # temps, counter] as float32 rows (ints < 2^24 are float32-exact)
-        packed = np.stack([
-            self.last_token.astype(np.float32),
-            self.lengths.astype(np.float32),
-            (active & (budget > 0)).astype(np.float32),
-            budget.astype(np.float32),
-            self.temps,
-            # counter wraps at the float32-exact ceiling (keys repeat only
-            # after 16.7M chunks)
-            np.full(self.max_batch, self._chunk_counter % (1 << 24), np.float32),
-        ])
+        use_long = not self.pending and max(remaining) >= self.drain_chunk
+        decode = self._decode_long if use_long else self._decode
+        n = self.drain_chunk if use_long else self.decode_chunk
+        self.cache, self.dstate = decode(self.params, self.cache, self.dstate)
         self._chunk_counter += 1
-        out, self.cache = decode(self.params, self.cache, jnp.asarray(packed))
-        out = np.asarray(out)  # (chunk+1, B) — ONE host sync per chunk
-        toks = out[:-1]
-        self._n_decode_ticks += toks.shape[0] * self.max_batch
-        self._n_occupied_ticks += toks.shape[0] * int(active.sum())
-        self.lengths = out[-1].astype(np.int32)
-        for i, slot in enumerate(self.slots):
-            if slot is None:
-                continue
-            n = int(self.lengths[i] - start[i])  # ticks slot i was live for
-            if n:
-                slot.generated.extend(int(t) for t in toks[:n, i])
-                self.last_token[i] = slot.generated[-1]
-                self._n_generated += n
+        self._n_decode_ticks += n * self.max_batch
+        self._n_occupied_ticks += n * len(occupied)
+        for s in occupied:
+            s.dispatched += n
 
-    def _retire(self) -> dict[int, list]:
+    def _sync_due(self) -> bool:
+        """A host sync is worthwhile only when it could retire a slot:
+        (a) some slot has certainly exhausted its budget, or (b) EOS is in
+        play and some slot has run blind for ``eos_sync_ticks`` — an early
+        exit may be sitting unnoticed."""
+        occupied = [s for s in self.slots if s is not None]
+        if not occupied:
+            return False
+        if any(s.known_ngen + s.dispatched >= s.max_new for s in occupied):
+            return True
+        return self.eos is not None and any(
+            s.dispatched >= self.eos_sync_ticks for s in occupied
+        )
+
+    def _sync(self) -> dict[int, list]:
+        """ONE packed device->host transfer; refresh the host's view of
+        every slot and retire the finished ones."""
+        snap = np.asarray(_snapshot(self.dstate))  # blocks on queued chunks
         done = {}
         for i, slot in enumerate(self.slots):
             if slot is None:
                 continue
-            gen = slot.generated
-            # a slot deactivates inside the chunk at EOS/budget, so gen ends
-            # exactly at the eos token or at max_new tokens
-            hit_eos = self.eos is not None and gen[-1] == self.eos
-            if hit_eos or len(gen) >= slot.max_new:
-                out = gen[: slot.max_new]
+            act, ngen = bool(snap[i, 0]), int(snap[i, 1])
+            self._n_generated += ngen - slot.known_ngen
+            slot.known_ngen, slot.dispatched = ngen, 0
+            if not act:
+                out = [int(t) for t in snap[i, 2 : 2 + min(ngen, slot.max_new)]]
                 done[slot.request_id] = out
                 self.finished[slot.request_id] = out
                 self.slots[i] = None
-                self.lengths[i] = 0
-                self.last_token[i] = 0
-                self.temps[i] = 0.0
                 self._n_completed += 1
         return done
 

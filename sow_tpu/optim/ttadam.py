@@ -57,11 +57,13 @@ def default_tt_spec(order: int = 4, rank: int = 4, min_dim: int = 16):
     return spec
 
 
-def _tt_zeros_like(p: jax.Array, ranks: list[int], layout: str) -> TensorTrain:
+def _tt_zeros_like(
+    p: jax.Array, ranks: list[int], layout: str, dtype=jnp.float32
+) -> TensorTrain:
     order = len(ranks) - 1
     in_shape, out_shape = matrix_tt_shapes(p.shape[0], p.shape[1], order, ranks, layout)
     ranks = cap_ranks(ranks, in_shape, out_shape)
-    return TensorTrain.zeros(ranks, in_shape, out_shape, dtype=jnp.float32)
+    return TensorTrain.zeros(ranks, in_shape, out_shape, dtype=dtype)
 
 
 def ttadam(
@@ -73,6 +75,9 @@ def ttadam(
     correct_bias: bool = True,
     tt_spec: Callable | None = None,
     decompose_method: str = "rand",
+    state_dtype=jnp.float32,
+    ema_mode: str = "dense",
+    v_mode: str = "tt",
 ) -> TTAdam:
     """Adam whose 2D-moment storage is TT-compressed between steps.
 
@@ -81,6 +86,24 @@ def ttadam(
     the per-step decompose is the latency bottleneck and Householder QR
     doesn't map to the MXU) or "qr" (the reference's exact truncated-QR,
     ``ttadam.py:113-115``).
+    ``state_dtype``: storage dtype of the TT cores between steps (the math
+    is fp32 either way; bf16 halves the state bytes on top of the TT
+    compression at a small EMA-precision cost).
+    ``ema_mode``: "dense" (reference semantics, ``ttadam.py:87-115`` —
+    reconstruct moments, dense EMA, re-decompose) or "tt" — decompose
+    the *gradient* once and update the first moment in TT arithmetic
+    (``m <- b1*m + (1-b1)*g_tt`` via block-diag add + round — the
+    reference's intended TTRAdam end-state, ``ttadam.py:120-207``),
+    reconstructing only for the dense update math. The rounds touch only
+    core-sized data.
+    ``v_mode``: "tt" (reference — the second moment is TT-compressed like
+    the first; with ``ema_mode="tt"`` it advances by bond-Kronecker
+    Hadamard + round, which can underestimate ``v`` badly — kept for
+    parity with the TTRAdam sketch, not recommended) or "factored" —
+    Adafactor row/col EMAs (Shazeer & Stern): O(m+n) state, NO per-step
+    decompose for ``v``, and a sound nonnegative reconstruction. With
+    ``v_mode="factored"`` the per-step full-matrix decompose count drops
+    from 2 to 1 while total state stays far below dense Adam.
     """
     spec_fn = tt_spec or default_tt_spec()
 
@@ -92,14 +115,25 @@ def ttadam(
             ranks = spec_fn(p)
             if ranks is None:
                 return jnp.zeros_like(p)
-            return _tt_zeros_like(p, ranks, "uniform")
+            return _tt_zeros_like(p, ranks, "uniform", dtype=state_dtype)
+
+        def second(p):
+            ranks = spec_fn(p)
+            if ranks is None:
+                return jnp.zeros_like(p)
+            if v_mode == "factored":
+                return {
+                    "vr": jnp.zeros((p.shape[0],), jnp.float32),
+                    "vc": jnp.zeros((p.shape[1],), jnp.float32),
+                }
+            return _tt_zeros_like(p, ranks, "uniform", dtype=state_dtype)
 
         zero_counts = jax.tree_util.tree_map(lambda p: jnp.zeros((), jnp.int32), params)
         return TTAdamState(
             step=jnp.zeros((), jnp.int32),
             count=zero_counts,
             mu=jax.tree_util.tree_map(moment, params),
-            nu=jax.tree_util.tree_map(moment, params),
+            nu=jax.tree_util.tree_map(second, params),
         )
 
     def update(grads, state: TTAdamState, params):
@@ -110,20 +144,64 @@ def ttadam(
             c = c + 1
             g32 = g.astype(jnp.float32)
             is_tt = isinstance(m, TensorTrain)
-            if is_tt:
-                # TT -> dense (ref ttadam.py:71-84), m and v reconstructed by
-                # ONE batched contraction (the per-step TT pipeline is
-                # dispatch-bound — halving launches matters more than flops).
-                mv_cores = [jnp.stack(ab) for ab in zip(m.cores, v.cores)]
-                mv = jax.vmap(lambda cs: TensorTrain(cs).to_matrix(p.shape))(mv_cores)
-                m_d = mv[0]
-                v_d = jnp.maximum(mv[1], 0.0)  # clamp negative v
-            else:
-                m_d, v_d = m.astype(jnp.float32), v.astype(jnp.float32)
+            v_is_tt = isinstance(v, TensorTrain)
+            ranks = list(m.ranks) if is_tt else None
 
-            # dense Adam math (ref ttadam.py:87-108)
-            m_d = b1 * m_d + (1 - b1) * g32
-            v_d = b2 * v_d + (1 - b2) * g32 * g32
+            if not is_tt:
+                m_d = b1 * m.astype(jnp.float32) + (1 - b1) * g32
+                v_d = b2 * v.astype(jnp.float32) + (1 - b2) * g32 * g32
+                m_new, v_new = m_d.astype(m.dtype), v_d.astype(v.dtype)
+            elif ema_mode == "tt":
+                # ONE full-matrix decompose (the gradient); the first moment
+                # advances in TT arithmetic (block-diag add + round — the
+                # TTRAdam sketch) and is reconstructed only for the update.
+                m32 = m.astype(jnp.float32)
+                g_tt = TensorTrain.from_matrix(
+                    g32, ranks, padding=True, method=decompose_method
+                )
+                m_tt = (b1 * m32 + (1 - b1) * g_tt).round(like=m32)
+                m_d = m_tt.to_matrix(p.shape)
+                m_new = m_tt.astype(state_dtype)
+                if v_is_tt:
+                    v32 = v.astype(jnp.float32)
+                    v_tt = (b2 * v32 + (1 - b2) * (g_tt * g_tt)).round(like=v32)
+                    v_d = jnp.maximum(v_tt.to_matrix(p.shape), 0.0)
+                    v_new = v_tt.astype(state_dtype)
+            elif v_is_tt:
+                # reference scheme (ttadam.py:71-115): TT -> dense, dense
+                # EMA, dense -> TT — m and v batched through ONE contraction
+                # and ONE decompose (the pipeline is dispatch-bound).
+                mv_cores = [
+                    jnp.stack(ab).astype(jnp.float32)
+                    for ab in zip(m.cores, v.cores)
+                ]
+                mv = jax.vmap(lambda cs: TensorTrain(cs).to_matrix(p.shape))(mv_cores)
+                m_d = b1 * mv[0] + (1 - b1) * g32
+                v_d = b2 * jnp.maximum(mv[1], 0.0) + (1 - b2) * g32 * g32
+                new_cores = jax.vmap(
+                    lambda x: TensorTrain.from_matrix(
+                        x, ranks, padding=True, method=decompose_method
+                    ).cores
+                )(jnp.stack([m_d, v_d]))
+                m_new = TensorTrain([cc[0] for cc in new_cores]).astype(state_dtype)
+                v_new = TensorTrain([cc[1] for cc in new_cores]).astype(state_dtype)
+            else:
+                # factored v: only the first moment round-trips through TT
+                m_d = b1 * m.astype(jnp.float32).to_matrix(p.shape) + (1 - b1) * g32
+                m_new = TensorTrain.from_matrix(
+                    m_d, ranks, padding=True, method=decompose_method
+                ).astype(state_dtype)
+
+            if is_tt and not v_is_tt:
+                # Adafactor second moment (factored.py formula): row/col
+                # EMAs of g^2, nonnegative rank-1 reconstruction for denom
+                g2 = g32 * g32
+                vr = b2 * v["vr"] + (1 - b2) * jnp.mean(g2, axis=1)
+                vc = b2 * v["vc"] + (1 - b2) * jnp.mean(g2, axis=0)
+                v_d = jnp.outer(vr, vc) / jnp.maximum(jnp.mean(vr), 1e-30)
+                v_new = {"vr": vr, "vc": vc}
+
+            # dense Adam update math (ref ttadam.py:87-108)
             denom = jnp.sqrt(v_d) + eps
             step_size = lr_t
             if correct_bias:
@@ -133,21 +211,6 @@ def ttadam(
             if weight_decay > 0.0:
                 # decoupled, scaled by base lr (ref ttadam.py:110-111)
                 u = u - (lr_t if not callable(lr) else lr_t) * weight_decay * p.astype(jnp.float32)
-
-            if is_tt:
-                # dense -> TT (ref ttadam.py:113-115), again one batched
-                # decompose for both moments. Ranks come from the stored
-                # state (vmap-safe: no data-dependent Python).
-                ranks = list(m.ranks)
-                new_cores = jax.vmap(
-                    lambda x: TensorTrain.from_matrix(
-                        x, ranks, padding=True, method=decompose_method
-                    ).cores
-                )(jnp.stack([m_d, v_d]))
-                m_new = TensorTrain([cc[0] for cc in new_cores])
-                v_new = TensorTrain([cc[1] for cc in new_cores])
-            else:
-                m_new, v_new = m_d.astype(m.dtype), v_d.astype(v.dtype)
             return u.astype(p.dtype), c, m_new, v_new
 
         # Group TT leaves by (param shape, TT ranks) and vmap one fused
@@ -168,26 +231,22 @@ def ttadam(
 
         out: list = [None] * len(flat_p)
 
+        stack = lambda *xs: jnp.stack(xs)  # works for TT cores and dicts alike
         vupd = jax.vmap(upd)
         for idxs in groups.values():
             g_s = jnp.stack([flat_g[i] for i in idxs])
             c_s = jnp.stack([flat_c[i] for i in idxs])
             p_s = jnp.stack([flat_p[i] for i in idxs])
-            m_s = TensorTrain.tree_unflatten(
-                None,
-                [jnp.stack(cs) for cs in zip(*(flat_m[i].cores for i in idxs))],
-            )
-            v_s = TensorTrain.tree_unflatten(
-                None,
-                [jnp.stack(cs) for cs in zip(*(flat_v[i].cores for i in idxs))],
-            )
+            m_s = jax.tree_util.tree_map(stack, *(flat_m[i] for i in idxs))
+            v_s = jax.tree_util.tree_map(stack, *(flat_v[i] for i in idxs))
             u_s, c_out, m_out, v_out = vupd(g_s, c_s, m_s, v_s, p_s)
             for j, i in enumerate(idxs):
+                take = lambda x: x[j]
                 out[i] = (
                     u_s[j],
                     c_out[j],
-                    TensorTrain([c[j] for c in m_out.cores]),
-                    TensorTrain([c[j] for c in v_out.cores]),
+                    jax.tree_util.tree_map(take, m_out),
+                    jax.tree_util.tree_map(take, v_out),
                 )
 
         for i in range(len(flat_p)):
