@@ -49,6 +49,21 @@ def timeit(fn, *args, warmup=3, iters=20):
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
+def timeit_opt(step, g, state, params, warmup=3, iters=50):
+    """Time an optimizer step with the STATE CHAINED through iterations —
+    the dependent chain serializes on the device, so the number is device
+    step time, not host dispatch rate (on a tunneled chip, 20 independent
+    dispatches of the same args measure the ~2 ms RPC floor instead)."""
+    for _ in range(warmup):
+        u, state = step(g, state, params)
+    jax.block_until_ready(u)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        u, state = step(g, state, params)
+    jax.block_until_ready(u)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--leaves", type=int, default=8)
@@ -60,6 +75,8 @@ def main():
     p.add_argument("--state-dtype", default="float32")
     p.add_argument("--ema-mode", default="dense", choices=("dense", "tt"))
     p.add_argument("--v-mode", default="tt", choices=("tt", "factored"))
+    p.add_argument("--layout", default="uniform",
+                   choices=("uniform", "wide", "matrix"))
     args = p.parse_args()
 
     import optax
@@ -75,6 +92,7 @@ def main():
         for i in range(args.leaves)
     }
 
+    @jax.jit
     def grad_at(step):
         # synthetic near-low-rank gradients, drifting with the step so the
         # EMA state matters (ref tests/tt_adam_update.py:17-26)
@@ -93,7 +111,7 @@ def main():
         "leaves": args.leaves, "shape": list(shape), "order": args.order,
         "rank": args.rank, "method": args.method,
         "state_dtype": args.state_dtype, "ema_mode": args.ema_mode,
-        "v_mode": args.v_mode,
+        "v_mode": args.v_mode, "layout": args.layout,
         "device": str(jax.devices()[0]),
     }
 
@@ -101,7 +119,7 @@ def main():
     dense_opt = optax.adamw(learning_rate=base["lr"])
     dense_state = dense_opt.init(params)
     dense_step = jax.jit(lambda g, s, p: dense_opt.update(g, s, p))
-    record["dense_ms"] = round(timeit(dense_step, g0, dense_state, params), 3)
+    record["dense_ms"] = round(timeit_opt(dense_step, g0, dense_state, params), 3)
     record["dense_state_bytes"] = int(
         sum(
             x.size * x.dtype.itemsize
@@ -117,10 +135,11 @@ def main():
         tt_kwargs["state_dtype"] = jnp.dtype(args.state_dtype)
     tt_kwargs["ema_mode"] = args.ema_mode
     tt_kwargs["v_mode"] = args.v_mode
+    tt_kwargs["layout"] = args.layout
     tt_opt = ttadam(**tt_kwargs)
     tt_state = tt_opt.init(params)
     tt_step = jax.jit(lambda g, s, p: tt_opt.update(g, s, p))
-    record["ttadam_ms"] = round(timeit(tt_step, g0, tt_state, params), 3)
+    record["ttadam_ms"] = round(timeit_opt(tt_step, g0, tt_state, params), 3)
     record["tt_state_bytes"] = int(optimizer_memory_usage(tt_state))
     record["vs_dense"] = round(record["ttadam_ms"] / record["dense_ms"], 3)
     record["state_compression"] = round(
@@ -130,7 +149,8 @@ def main():
     # -- stage attribution: batched reconstruct / decompose of both moments --
     ranks = [1] + [args.rank] * (args.order - 1) + [1]
     sample = TensorTrain.from_matrix(
-        g0["w0"].astype(jnp.float32), ranks, padding=True, method=args.method
+        g0["w0"].astype(jnp.float32), ranks, padding=True, method=args.method,
+        layout=args.layout,
     )
     stacked_cores = [jnp.stack([c] * (2 * args.leaves)) for c in sample.cores]
     recon = jax.jit(jax.vmap(lambda *cs: TensorTrain(list(cs)).to_matrix(shape)))
@@ -139,7 +159,7 @@ def main():
     decomp = jax.jit(
         jax.vmap(
             lambda x: TensorTrain.from_matrix(
-                x, ranks, padding=True, method=args.method
+                x, ranks, padding=True, method=args.method, layout=args.layout
             ).cores
         )
     )

@@ -78,6 +78,7 @@ def ttadam(
     state_dtype=jnp.float32,
     ema_mode: str = "dense",
     v_mode: str = "tt",
+    layout: str = "uniform",
 ) -> TTAdam:
     """Adam whose 2D-moment storage is TT-compressed between steps.
 
@@ -115,7 +116,7 @@ def ttadam(
             ranks = spec_fn(p)
             if ranks is None:
                 return jnp.zeros_like(p)
-            return _tt_zeros_like(p, ranks, "uniform", dtype=state_dtype)
+            return _tt_zeros_like(p, ranks, layout, dtype=state_dtype)
 
         def second(p):
             ranks = spec_fn(p)
@@ -126,7 +127,7 @@ def ttadam(
                     "vr": jnp.zeros((p.shape[0],), jnp.float32),
                     "vc": jnp.zeros((p.shape[1],), jnp.float32),
                 }
-            return _tt_zeros_like(p, ranks, "uniform", dtype=state_dtype)
+            return _tt_zeros_like(p, ranks, layout, dtype=state_dtype)
 
         zero_counts = jax.tree_util.tree_map(lambda p: jnp.zeros((), jnp.int32), params)
         return TTAdamState(
@@ -157,7 +158,8 @@ def ttadam(
                 # TTRAdam sketch) and is reconstructed only for the update.
                 m32 = m.astype(jnp.float32)
                 g_tt = TensorTrain.from_matrix(
-                    g32, ranks, padding=True, method=decompose_method
+                    g32, ranks, padding=True, method=decompose_method,
+                    layout=layout,
                 )
                 m_tt = (b1 * m32 + (1 - b1) * g_tt).round(like=m32)
                 m_d = m_tt.to_matrix(p.shape)
@@ -180,7 +182,8 @@ def ttadam(
                 v_d = b2 * jnp.maximum(mv[1], 0.0) + (1 - b2) * g32 * g32
                 new_cores = jax.vmap(
                     lambda x: TensorTrain.from_matrix(
-                        x, ranks, padding=True, method=decompose_method
+                        x, ranks, padding=True, method=decompose_method,
+                        layout=layout,
                     ).cores
                 )(jnp.stack([m_d, v_d]))
                 m_new = TensorTrain([cc[0] for cc in new_cores]).astype(state_dtype)
@@ -189,7 +192,8 @@ def ttadam(
                 # factored v: only the first moment round-trips through TT
                 m_d = b1 * m.astype(jnp.float32).to_matrix(p.shape) + (1 - b1) * g32
                 m_new = TensorTrain.from_matrix(
-                    m_d, ranks, padding=True, method=decompose_method
+                    m_d, ranks, padding=True, method=decompose_method,
+                    layout=layout,
                 ).astype(state_dtype)
 
             if is_tt and not v_is_tt:

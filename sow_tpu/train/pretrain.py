@@ -40,6 +40,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--eval-tokens", type=int, default=5_000_000)
     p.add_argument("--logging-steps", type=int, default=100)
     p.add_argument("--synthetic-data", action="store_true", default=False)
+    p.add_argument("--data-dir", type=str, default=None,
+                   help="comma-separated local text roots (offline corpus; "
+                        "C4 is egress-blocked here) — see data/local_text.py")
+    p.add_argument("--tokenizer-path", type=str, default=None,
+                   help="tokenizers-JSON path for --data-dir (trained "
+                        "offline via local_text.train_bpe_tokenizer)")
     p.add_argument("--continue-from", type=str, default=None)
     p.add_argument("--metrics-path", type=str, default=None, help="JSONL metrics sink")
     p.add_argument("--wandb-project", type=str, default=None)
@@ -119,13 +125,29 @@ def _run(args):
             trainer.tokens_seen = state.get("tokens_seen", 0)
             print(f"resumed from {ckpt} at step {start_step}")
 
-    data = make_pretrain_stream(
-        cfg.batch_size * cfg.gradient_accumulation,
-        cfg.max_length,
-        trainer.model_cfg.vocab_size,
-        seed=cfg.seed,
-        synthetic=args.synthetic_data,
-    )
+    def stream(split: str, batch_size: int, seed: int):
+        if args.data_dir:
+            from sow_tpu.data.local_text import load_local_tokenizer, local_text_batches
+
+            tok = load_local_tokenizer(args.tokenizer_path)
+            if tok.vocab_size > trainer.model_cfg.vocab_size:
+                # OOB token ids silently gather garbage embeddings (NaN loss)
+                raise ValueError(
+                    f"tokenizer vocab {tok.vocab_size} exceeds model vocab "
+                    f"{trainer.model_cfg.vocab_size}"
+                )
+            return local_text_batches(
+                tok,
+                args.data_dir.split(","),
+                split=split, batch_size=batch_size,
+                max_length=cfg.max_length, seed=seed,
+            )
+        return make_pretrain_stream(
+            batch_size, cfg.max_length, trainer.model_cfg.vocab_size,
+            seed=seed, synthetic=args.synthetic_data, split=split,
+        )
+
+    data = stream("train", cfg.batch_size * cfg.gradient_accumulation, cfg.seed)
     if args.prefetch > 0:
         from sow_tpu.data.prefetch import Prefetcher
         from sow_tpu.parallel.mesh import token_sharding
@@ -191,12 +213,10 @@ def _run(args):
             )
 
         if args.eval_every and step % args.eval_every == 0:
-            eval_data = make_pretrain_stream(
-                cfg.batch_size, cfg.max_length, trainer.model_cfg.vocab_size,
-                seed=cfg.seed + 1, synthetic=args.synthetic_data, split="validation",
-            )
+            eval_data = stream("validation", cfg.batch_size, cfg.seed + 1)
             out = trainer.evaluate(eval_data, max_tokens=args.eval_tokens)
             print(f"eval @ {step}: loss {out['eval_loss']:.4f} ppl {out['perplexity']:.2f}")
+            logger.log(step, eval_loss=out["eval_loss"], perplexity=out["perplexity"])
 
     if args.save_dir:
         save_params = trainer.standard_params if use_pp else trainer.params
@@ -205,7 +225,19 @@ def _run(args):
             args.save_dir, trainer.update_step, save_params, save_opt,
             config=dataclasses.asdict(cfg), tokens_seen=trainer.tokens_seen,
         )
-    print(json.dumps({"final_step": trainer.update_step, "tokens_seen": trainer.tokens_seen}))
+    final = {"final_step": trainer.update_step, "tokens_seen": trainer.tokens_seen}
+    if args.eval_every and trainer.update_step % args.eval_every != 0:
+        # the 25k-step flagship (readme.md:6-25) ends off the eval cadence;
+        # always record a final held-out perplexity for the results table
+        out = trainer.evaluate(
+            stream("validation", cfg.batch_size, cfg.seed + 1),
+            max_tokens=args.eval_tokens,
+        )
+        logger.log(trainer.update_step, eval_loss=out["eval_loss"],
+                   perplexity=out["perplexity"])
+        final.update(final_eval_loss=out["eval_loss"],
+                     final_perplexity=out["perplexity"])
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":

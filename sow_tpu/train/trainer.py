@@ -57,6 +57,14 @@ class TrainConfig:
     n_iter: int = 1
     sow_scale: float = 1.0
     sow_accumulation: int = 5_000  # update steps between accumulations
+    # convergence-ablation knobs (reference pretraining uses neither):
+    # keep the SoW group's Adam moments across accumulation events instead
+    # of resetting them (ablates reset_optimizer, training_utils.py:257-277)
+    sow_keep_moments: bool = False
+    # after the FIRST accumulation, set the factor scale to this value
+    # (0 = keep sow_scale). The finetune workloads' scale -> 1/rank move
+    # (run_glue.py:993-1002) as a pretraining ablation.
+    sow_scale_after_first: float = 0.0
     init_method: str = "normal_QR"
     grow_rank: bool = False
     # galore (ref simple_train.py:96-102)
@@ -455,6 +463,11 @@ class Trainer:
 
         key = jax.random.PRNGKey(self.cfg.seed + 1000 + self.update_step)
         new_params = accumulate_tree(self.params, key)
+        self._n_accumulations = getattr(self, "_n_accumulations", 0) + 1
+        if self.cfg.sow_scale_after_first > 0 and self._n_accumulations == 1:
+            from sow_tpu.nn import set_sow_scale
+
+            new_params = set_sow_scale(new_params, self.cfg.sow_scale_after_first)
         old_state = self.opt_state
 
         self.params = self._device_put_params(new_params)
@@ -469,7 +482,11 @@ class Trainer:
                     main=rebuild(old_st.main, fresh_st.main),
                     routed=old_st.routed,  # embed/head state unaffected by SoW events
                 )
-            return rebuild_state_after_accumulation(old_st, fresh_st, self.labels)
+            return rebuild_state_after_accumulation(
+                old_st, fresh_st, self.labels,
+                # ablation: carry the SoW moments too (shapes permitting)
+                reset_label="__keep_all__" if self.cfg.sow_keep_moments else "sow",
+            )
 
         self.opt_state = rebuild(old_state, fresh)
 

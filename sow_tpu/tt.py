@@ -560,6 +560,15 @@ def matrix_tt_shapes(
     rank, with the whole remainder in the last factor — see
     ``TensorTrain.from_matrix`` for why this layout matters on TPU.
     """
+    if layout == "matrix":
+        # order-2, no grid: in (m, 1) x out (1, n) — the TT bond IS a plain
+        # rank-r matrix factorization A @ B. Decompose is ONE sketch + QR
+        # over the real matrix axes (large MXU matmuls, zero relayout), and
+        # the bond directly captures matrix singular structure instead of
+        # the interleaved grid unfolding's.
+        if order != 2:
+            raise ValueError("layout='matrix' requires order=2")
+        return (m, 1), (1, n)
     if layout == "uniform":
         mm = math.ceil(m ** (1 / order))
         nn = math.ceil(n ** (1 / order))
