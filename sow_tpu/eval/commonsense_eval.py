@@ -129,10 +129,13 @@ def _server_generate(params, model_cfg, tokenized, cfg: EvalConfig, eos_id):
         b *= 2
     buckets.append(b)
     srv = GenerationServer(
-        params, model_cfg, max_batch=cfg.batch_size,
+        params, model_cfg,
+        # beam mode: one request = num_beams pool rows; keep the number of
+        # CONCURRENT requests equal to the batch path's batch_size
+        max_batch=cfg.batch_size * cfg.num_beams,
         max_len=b + cfg.max_new_tokens, eos_token_id=eos_id,
         cache_dtype=cfg.cache_dtype, prompt_buckets=tuple(buckets),
-        mesh=cfg.mesh,
+        mesh=cfg.mesh, num_beams=cfg.num_beams,
     )
     rids = [srv.submit(t, max_new_tokens=cfg.max_new_tokens) for t in tokenized]
     out = srv.run()
@@ -160,8 +163,9 @@ def evaluate_commonsense(
     ]
 
     if cfg.engine == "server" and decode_fn is None:
-        if cfg.num_beams > 1:
-            raise ValueError("engine='server' is greedy-only (num_beams=1)")
+        # num_beams > 1 runs the server's grouped beam mode — token-identical
+        # to beam_generate (the reference's beam-4 eval settings now run
+        # through the continuous-batching engine too)
         gens = _server_generate(params, model_cfg, all_tok, cfg, eos_id)
         texts_by_idx = {
             j: tokenizer.decode(gen, skip_special_tokens=True)
@@ -279,11 +283,9 @@ def main(argv=None):
         from sow_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp, model=args.mesh_model)
-    num_beams = args.num_beams
-    if num_beams is None:
-        num_beams = 1 if args.engine == "server" else 4
-    elif args.engine == "server" and num_beams > 1:
-        p.error("--engine server is greedy-only; drop --num-beams or use --engine batch")
+    # both engines default to the reference's beam-4 eval settings
+    # (commonsense_evaluate.py:79-85); the server runs its grouped beam mode
+    num_beams = 4 if args.num_beams is None else args.num_beams
     cfg = EvalConfig(
         dataset=args.dataset, batch_size=args.batch_size,
         max_new_tokens=args.max_new_tokens, num_beams=num_beams,

@@ -249,6 +249,187 @@ def _snapshot(dstate):
     )
 
 
+def _init_beam_dstate(n_groups: int, k: int, max_len: int) -> dict:
+    """Device-resident state for beam serving: per-SLOT beam rows (token,
+    score, finished, emitted history) + per-GROUP scheduling (active,
+    budget, generated count). Slots ``g*k .. g*k+k-1`` are group ``g``'s
+    beams, kept in rank order by the per-tick permutation."""
+    b = n_groups * k
+    return {
+        "tok": jnp.zeros((b,), jnp.int32),
+        "len": jnp.zeros((b,), jnp.int32),
+        "score": jnp.zeros((b,), jnp.float32),  # cumulative log-prob
+        "fin": jnp.zeros((b,), bool),  # beam emitted EOS
+        "out": jnp.zeros((b, max_len), jnp.int32),
+        "act": jnp.zeros((n_groups,), bool),
+        "budget": jnp.zeros((n_groups,), jnp.int32),
+        "ngen": jnp.zeros((n_groups,), jnp.int32),
+    }
+
+
+@lru_cache(maxsize=None)
+def _make_beam_prefill(
+    cfg: llama_lib.LlamaConfig, bucket: int, group: int, k: int, eos: Optional[int]
+):
+    """Grouped beam prefill: each admitted REQUEST's prompt runs forward
+    ONCE (vs ``beam_generate`` replicating it k times), its K/V broadcast
+    into the k pool rows of the assigned group, and the first expansion is
+    the top-k of the final-position log-softmax — exactly
+    ``eval/generate.py:120-133``. Packed rows:
+    [ids(bucket) | mask(bucket) | gslot | t_real | max_new]."""
+
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def prefill(params, cache, dstate, packed):
+        ids = packed[:, :bucket].astype(jnp.int32)
+        mask = packed[:, bucket : 2 * bucket].astype(jnp.int32)
+        gslots = packed[:, 2 * bucket].astype(jnp.int32)
+        t_real = packed[:, 2 * bucket + 1].astype(jnp.int32)
+        max_new = packed[:, 2 * bucket + 2].astype(jnp.int32)
+        n_groups = dstate["act"].shape[0]
+        max_len = dstate["out"].shape[1]
+
+        scratch = llama_lib.init_cache(cfg, group, bucket, dtype=cache[0]["k"].dtype)
+        positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+        logits, scratch = llama_lib.forward_with_cache(
+            params, ids, cfg, scratch, 0, positions, mask
+        )
+        shift = t_real - bucket
+        # replicate each request's prompt K/V into its group's k rows
+        rowidx = (gslots[:, None] * k + jnp.arange(k)[None, :]).reshape(-1)
+        new_cache = []
+        for pool, sc in zip(cache, scratch):
+            layer = {}
+            for name, buf in pool.items():
+                blk = sc[name]
+                blk = jax.vmap(lambda x, s: jnp.roll(x, s, axis=1))(blk, shift)
+                pad = buf.shape[2] - bucket
+                if pad > 0:
+                    padding = [(0, 0), (0, 0), (0, pad)] + [(0, 0)] * (blk.ndim - 3)
+                    blk = jnp.pad(blk, padding)
+                rep = jnp.repeat(blk, k, axis=0)  # (group*k, ...)
+                layer[name] = buf.at[rowidx].set(rep.astype(buf.dtype), mode="drop")
+            new_cache.append(layer)
+
+        lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+        scores0, first = jax.lax.top_k(lp, k)  # (group, k)
+        first = first.astype(jnp.int32)
+        fin0 = (first == eos) if eos is not None else jnp.zeros_like(first, bool)
+        row = jnp.zeros((group, k, max_len), jnp.int32).at[:, :, 0].set(first)
+
+        flat = lambda x: x.reshape(-1)
+        st = {
+            "tok": dstate["tok"].at[rowidx].set(flat(first), mode="drop"),
+            "len": dstate["len"].at[rowidx].set(
+                flat(jnp.broadcast_to(t_real[:, None], (group, k))), mode="drop"
+            ),
+            "score": dstate["score"].at[rowidx].set(flat(scores0), mode="drop"),
+            "fin": dstate["fin"].at[rowidx].set(flat(fin0), mode="drop"),
+            "out": dstate["out"].at[rowidx].set(
+                row.reshape(group * k, max_len), mode="drop"
+            ),
+            "act": dstate["act"].at[gslots].set(
+                (max_new > 1) & ~fin0.all(axis=1), mode="drop"
+            ),
+            "budget": dstate["budget"].at[gslots].set(max_new - 1, mode="drop"),
+            "ngen": dstate["ngen"].at[gslots].set(
+                jnp.ones_like(max_new), mode="drop"
+            ),
+        }
+        return new_cache, st
+
+    return prefill
+
+
+@lru_cache(maxsize=None)
+def _make_beam_decode(
+    cfg: llama_lib.LlamaConfig, decode_chunk: int, k: int, eos: Optional[int]
+):
+    """Chunked beam decode over the device-resident state. Each tick is one
+    ragged forward for ALL pool rows + a per-group top-k over the k*V
+    candidate continuations + a row permutation of beam state AND the K/V
+    cache (full-row gather: the prompt region is identical across a
+    group's beams, so gathering it is a semantic no-op) — the continuous-
+    batching counterpart of ``eval/generate.py:136-177``, including the
+    finished-beams-extend-with-EOS-at-no-cost rule. A group deactivates
+    when its budget is exhausted or every beam has finished; outputs are
+    eos-padded by the host, matching ``beam_generate``'s fixed-length
+    output."""
+    neg = jnp.float32(-1e9)
+
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def decode(params, cache, dstate):
+        b = dstate["tok"].shape[0]
+        n_groups = b // k
+        max_len = dstate["out"].shape[1]
+        rows = jnp.arange(b)
+        base = jnp.arange(n_groups) * k
+
+        def tick(carry, _):
+            cache, st = carry
+            logits, cache = llama_lib.forward_decode_ragged(
+                params, st["tok"], cfg, cache, st["len"]
+            )
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            vocab = lp.shape[-1]
+            if eos is not None:
+                eos_only = jnp.full((vocab,), neg).at[eos].set(0.0)
+                lp = jnp.where(st["fin"][:, None], eos_only[None], lp)
+            cand = st["score"][:, None] + lp  # (B, V)
+            new_sc, idx = jax.lax.top_k(cand.reshape(n_groups, k * vocab), k)
+            beam_idx = idx // vocab
+            tok_idx = (idx % vocab).astype(jnp.int32)
+
+            actb = jnp.repeat(st["act"], k)  # per-slot active flag
+            src = jnp.where(actb, (base[:, None] + beam_idx).reshape(-1), rows)
+            tokn = jnp.where(actb, tok_idx.reshape(-1), st["tok"])
+            out = st["out"][src]
+            pos = jnp.clip(jnp.repeat(st["ngen"], k), 0, max_len - 1)
+            out = out.at[rows, pos].set(jnp.where(actb, tokn, out[rows, pos]))
+            fin = st["fin"][src]
+            if eos is not None:
+                fin = fin | (actb & (tokn == eos))
+            cache = [
+                {name: buf[src] for name, buf in layer.items()} for layer in cache
+            ]
+            adv = st["act"].astype(jnp.int32)
+            budget = st["budget"] - adv
+            act = st["act"] & (budget > 0) & ~fin.reshape(n_groups, k).all(axis=1)
+            new = {
+                "tok": tokn,
+                "len": st["len"] + actb.astype(jnp.int32),
+                "score": jnp.where(actb, new_sc.reshape(-1), st["score"]),
+                "fin": fin,
+                "out": out,
+                "act": act,
+                "budget": budget,
+                "ngen": st["ngen"] + adv,
+            }
+            return (cache, new), None
+
+        (cache, dstate), _ = jax.lax.scan(
+            tick, (cache, dstate), None, length=decode_chunk
+        )
+        return cache, dstate
+
+    return decode
+
+
+@jax.jit
+def _snapshot_beam(dstate):
+    """One int32 device->host transfer for beam retirement: per slot
+    [group_act | group_ngen | score_bits | out...]."""
+    k = dstate["tok"].shape[0] // dstate["act"].shape[0]
+    return jnp.concatenate(
+        [
+            jnp.repeat(dstate["act"].astype(jnp.int32), k)[:, None],
+            jnp.repeat(dstate["ngen"], k)[:, None],
+            jax.lax.bitcast_convert_type(dstate["score"], jnp.int32)[:, None],
+            dstate["out"],
+        ],
+        axis=1,
+    )
+
+
 @dataclasses.dataclass
 class _Slot:
     request_id: int
@@ -278,6 +459,7 @@ class GenerationServer:
         sample_seed: int = 0,
         mesh=None,
         eos_sync_ticks: Optional[int] = None,
+        num_beams: int = 1,
     ):
         self.params = params
         self.cfg = cfg
@@ -285,11 +467,19 @@ class GenerationServer:
         self.max_len = max_len
         self.eos = eos_token_id
         self.decode_chunk = decode_chunk
+        self.num_beams = num_beams
+        if num_beams > 1 and max_batch % num_beams:
+            raise ValueError("max_batch must be a multiple of num_beams")
+        # beam mode: the pool is n_groups contiguous blocks of num_beams
+        # slots; one request occupies a whole block (ref beam-4 eval,
+        # commonsense_evaluate.py:79-85)
+        self.n_groups = max_batch // num_beams
         self.buckets = tuple(b for b in prompt_buckets if b <= max_len) or (
             min(32, max_len),  # tiny max_len: seed the ladder, auto-extends
         )
         dtype = cache_dtype or params["embed"]["embedding"].dtype
         self.cache = llama_lib.init_cache(cfg, max_batch, max_len, dtype=dtype)
+        self._beam = num_beams > 1
         if mesh is not None:
             # multi-chip serving: weights TP/FSDP-sharded by the training
             # path rules, cache sharded over KV heads on the `model` axis;
@@ -299,13 +489,21 @@ class GenerationServer:
             self.params = jax.device_put(params, params_shardings(mesh, params))
             self.cache = jax.device_put(self.cache, _cache_shardings(mesh, self.cache))
 
-        # device-resident slot state + minimal host mirror (scheduling only)
-        self.dstate = _init_dstate(max_batch, max_len)
+        # device-resident slot state + minimal host mirror (scheduling only).
+        # In beam mode the host schedules GROUPS (one request = one block of
+        # num_beams pool rows), so the slot mirror is per-group.
+        self.dstate = (
+            _init_beam_dstate(self.n_groups, num_beams, max_len)
+            if self._beam
+            else _init_dstate(max_batch, max_len)
+        )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self.dstate = jax.device_put(self.dstate, NamedSharding(mesh, P()))
-        self.slots: list[Optional[_Slot]] = [None] * max_batch
+        self.slots: list[Optional[_Slot]] = [None] * (
+            self.n_groups if self._beam else max_batch
+        )
         self.pending: list[tuple[int, list]] = []
         self.finished: dict[int, list] = {}
         self._next_id = 0
@@ -322,17 +520,25 @@ class GenerationServer:
         # jitted fns come from module-level lru_caches keyed on the static
         # config, so every server with the same (cfg, chunk, eos, seed)
         # shares compiles — restarting a server must not recompile the engine
-        self._decode = _make_decode(cfg, decode_chunk, eos_token_id, sample_seed)
+        if self._beam:
+            self._decode = _make_beam_decode(cfg, decode_chunk, num_beams, eos_token_id)
+        else:
+            self._decode = _make_decode(cfg, decode_chunk, eos_token_id, sample_seed)
         # drain mode: with nothing pending there is no reason to come back
         # to the host every `decode_chunk` ticks — a longer chunk amortizes
         # the per-chunk dispatch+sync (~32 ms vs 46 ms of compute at 1b
         # pool-8 on the tunneled chip) over 4x the tokens
         self.drain_chunk = max(drain_chunk, decode_chunk)
-        self._decode_long = (
-            _make_decode(cfg, self.drain_chunk, eos_token_id, sample_seed)
-            if self.drain_chunk > decode_chunk
-            else self._decode
-        )
+        if self.drain_chunk == decode_chunk:
+            self._decode_long = self._decode
+        elif self._beam:
+            self._decode_long = _make_beam_decode(
+                cfg, self.drain_chunk, num_beams, eos_token_id
+            )
+        else:
+            self._decode_long = _make_decode(
+                cfg, self.drain_chunk, eos_token_id, sample_seed
+            )
         self._prefill = {}  # (bucket, group) -> jitted fn (from _make_prefill)
         # with an EOS token a slot can finish before its budget; cap how many
         # ticks the scheduler runs blind so early exits retire promptly
@@ -351,6 +557,8 @@ class GenerationServer:
             # an empty prompt would prefill a fully-masked row and emit a
             # garbage first token — reject it at the door
             raise ValueError("empty prompt")
+        if self._beam and temperature > 0:
+            raise ValueError("beam search is deterministic; temperature must be 0")
         rid = self._next_id
         self._next_id += 1
         if len(prompt_ids) + max_new_tokens > self.max_len:
@@ -414,6 +622,8 @@ class GenerationServer:
 
     # -- internals ---------------------------------------------------------
     def _admit(self):
+        if self._beam:
+            return self._admit_beam()
         while self.pending:
             free = [i for i in range(self.max_batch) if self.slots[i] is None]
             if not free:
@@ -460,12 +670,56 @@ class GenerationServer:
             for g, (rid, (prompt, max_new, temperature)) in enumerate(batch):
                 self.slots[free[g]] = _Slot(rid, len(prompt), max_new, temperature)
 
+    def _admit_beam(self):
+        """Grouped beam admission: each request takes one free GROUP (a
+        block of ``num_beams`` pool rows); its prompt prefills ONCE and is
+        broadcast into the block on device."""
+        while self.pending:
+            free = [g for g in range(self.n_groups) if self.slots[g] is None]
+            if not free:
+                return
+            bucket = _bucket(len(self.pending[0][1][0]), self.buckets)
+            batch = []
+            while (
+                self.pending
+                and len(batch) < len(free)
+                and _bucket(len(self.pending[0][1][0]), self.buckets) == bucket
+            ):
+                batch.append(self.pending.pop(0))
+            g_real = len(batch)
+            group = 1
+            while group < g_real:
+                group *= 2
+            # packed rows: [ids | mask | gslot, t_real, max_new]
+            packed = np.zeros((group, 2 * bucket + 3), np.float32)
+            packed[:, 2 * bucket] = self.n_groups  # padding rows: OOB -> dropped
+            for g, (rid, (prompt, max_new, _temp)) in enumerate(batch):
+                t = len(prompt)
+                packed[g, bucket - t : bucket] = prompt
+                packed[g, 2 * bucket - t : 2 * bucket] = 1
+                packed[g, 2 * bucket] = free[g]
+                packed[g, 2 * bucket + 1] = t
+                packed[g, 2 * bucket + 2] = max_new
+            fn = self._prefill_fn(bucket, group)
+            self.cache, self.dstate = fn(
+                self.params, self.cache, self.dstate, jnp.asarray(packed)
+            )
+            self._n_prefill_calls += 1
+            self._n_prefilled += g_real
+            for g, (rid, (prompt, max_new, _temp)) in enumerate(batch):
+                self.slots[free[g]] = _Slot(rid, len(prompt), max_new)
+
     def _prefill_fn(self, bucket: int, group: int):
         key = (bucket, group)
         if key not in self._prefill:
-            self._prefill[key] = _make_prefill(
-                self.cfg, bucket, group, self._sample_seed, self.eos
-            )
+            if self._beam:
+                self._prefill[key] = _make_beam_prefill(
+                    self.cfg, bucket, group, self.num_beams, self.eos
+                )
+            else:
+                self._prefill[key] = _make_prefill(
+                    self.cfg, bucket, group, self._sample_seed, self.eos
+                )
         return self._prefill[key]
 
     def _tick(self):
@@ -489,7 +743,7 @@ class GenerationServer:
         self.cache, self.dstate = decode(self.params, self.cache, self.dstate)
         self._chunk_counter += 1
         self._n_decode_ticks += n * self.max_batch
-        self._n_occupied_ticks += n * len(occupied)
+        self._n_occupied_ticks += n * len(occupied) * self.num_beams
         for s in occupied:
             s.dispatched += n
 
@@ -510,6 +764,8 @@ class GenerationServer:
     def _sync(self) -> dict[int, list]:
         """ONE packed device->host transfer; refresh the host's view of
         every slot and retire the finished ones."""
+        if self._beam:
+            return self._sync_beam()
         snap = np.asarray(_snapshot(self.dstate))  # blocks on queued chunks
         done = {}
         for i, slot in enumerate(self.slots):
@@ -523,6 +779,34 @@ class GenerationServer:
                 done[slot.request_id] = out
                 self.finished[slot.request_id] = out
                 self.slots[i] = None
+                self._n_completed += 1
+        return done
+
+    def _sync_beam(self) -> dict[int, list]:
+        """Beam retirement: ONE packed transfer; a retiring group returns its
+        argmax-score beam (ties -> first, i.e. row 0 after the score-sorted
+        permutation) EOS-padded to ``max_new`` — exactly ``beam_generate``'s
+        fixed-length best-beam output (``eval/generate.py:186-187``)."""
+        k = self.num_beams
+        snap = np.asarray(_snapshot_beam(self.dstate))  # blocks queued chunks
+        scores = snap[:, 2].view(np.float32)
+        done = {}
+        for g, slot in enumerate(self.slots):
+            if slot is None:
+                continue
+            act, ngen = bool(snap[g * k, 0]), int(snap[g * k, 1])
+            # per-beam tokens count toward generated work
+            self._n_generated += (ngen - slot.known_ngen) * k
+            slot.known_ngen, slot.dispatched = ngen, 0
+            if not act:
+                best = g * k + int(np.argmax(scores[g * k : (g + 1) * k]))
+                n = min(ngen, slot.max_new)
+                out = [int(t) for t in snap[best, 3 : 3 + n]]
+                if self.eos is not None:
+                    out += [self.eos] * (slot.max_new - n)
+                done[slot.request_id] = out
+                self.finished[slot.request_id] = out
+                self.slots[g] = None
                 self._n_completed += 1
         return done
 

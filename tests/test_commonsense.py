@@ -191,6 +191,30 @@ class TestEvalHarness:
         assert [o["raw"] for o in srv["outputs"]] == [o["raw"] for o in batch["outputs"]]
         assert srv["accuracy"] == batch["accuracy"]
 
+    def test_server_engine_matches_batch_beam4(self):
+        """engine='server' at the reference's beam-4 eval settings
+        (commonsense_evaluate.py:79-85) matches the fixed-batch beam path."""
+        from sow_tpu.models import init_params
+
+        model_cfg = get_config("llama_test")
+        params = init_params(jax.random.PRNGKey(0), model_cfg)
+        tok = StubTokenizer(vocab_size=model_cfg.vocab_size)
+        records = [
+            {"instruction": f"beam question {i} " * (1 + i % 2), "answer": "true"}
+            for i in range(4)
+        ]
+        batch = evaluate_commonsense(
+            params, model_cfg, tok, records,
+            EvalConfig(dataset="boolq", batch_size=2, max_new_tokens=4, num_beams=4),
+        )
+        srv = evaluate_commonsense(
+            params, model_cfg, tok, records,
+            EvalConfig(dataset="boolq", batch_size=2, max_new_tokens=4,
+                       num_beams=4, engine="server"),
+        )
+        assert [o["raw"] for o in srv["outputs"]] == [o["raw"] for o in batch["outputs"]]
+        assert srv["accuracy"] == batch["accuracy"]
+
 
 @pytest.mark.slow
 class TestAdapters:

@@ -238,3 +238,98 @@ class TestGenerationServer:
         out = srv.run()
         for rid, p in zip(rids, prompts):
             assert out[rid] == isolated_greedy(p, 5), rid
+
+
+def isolated_beam(prompt, max_new, k=4, eos=None):
+    from sow_tpu.eval.generate import beam_generate
+
+    ids = jnp.asarray([prompt], jnp.int32)
+    mask = jnp.ones_like(ids)
+    out = beam_generate(
+        PARAMS, ids, mask, CFG, max_new_tokens=max_new, num_beams=k, eos_token_id=eos
+    )
+    return [int(x) for x in np.asarray(out)[0]]
+
+
+class TestBeamServer:
+    """Beam mode: the server's per-group device-resident beam search must be
+    token-identical to the batch ``beam_generate`` oracle (the reference's
+    beam-4 eval path, commonsense_evaluate.py:79-85)."""
+
+    def _server(self, **kw):
+        kw.setdefault("num_beams", 4)
+        kw.setdefault("max_batch", 8)  # 2 groups of 4 beams
+        kw.setdefault("max_len", 64)
+        kw.setdefault("prompt_buckets", (8, 16))
+        return GenerationServer(PARAMS, CFG, **kw)
+
+    def test_matches_beam_generate(self):
+        rng = np.random.RandomState(20)
+        prompts = [list(rng.randint(2, CFG.vocab_size, n)) for n in (5, 9, 13)]
+        srv = self._server()
+        rids = [srv.submit(p, max_new_tokens=6) for p in prompts]
+        out = srv.run()
+        for rid, p in zip(rids, prompts):
+            assert out[rid] == isolated_beam(p, 6), rid
+
+    def test_group_reuse_ragged_budgets(self):
+        """5 requests through 1 group (pool 4 = one beam-4 block): groups
+        retire and are reused; budgets differ."""
+        rng = np.random.RandomState(21)
+        prompts = [list(rng.randint(2, CFG.vocab_size, 6)) for _ in range(5)]
+        budgets = [3, 8, 5, 2, 6]
+        srv = self._server(max_batch=4)
+        rids = [srv.submit(p, max_new_tokens=b) for p, b in zip(prompts, budgets)]
+        out = srv.run()
+        for rid, p, b in zip(rids, prompts, budgets):
+            assert out[rid] == isolated_beam(p, b), rid
+
+    def test_eos_fixed_length_output(self):
+        """With an EOS token the retired output is EOS-padded to max_new —
+        exactly beam_generate's fixed-length row (finished beams extend
+        with EOS at no cost)."""
+        rng = np.random.RandomState(22)
+        p = list(rng.randint(2, CFG.vocab_size, 7))
+        free = isolated_beam(p, 8)
+        eos = free[2]  # force an early finish on the winning path
+        srv = self._server(eos_token_id=eos)
+        rid = srv.submit(p, max_new_tokens=8)
+        out = srv.run()
+        assert out[rid] == isolated_beam(p, 8, eos=eos)
+        assert len(out[rid]) == 8
+
+    def test_late_submission(self):
+        rng = np.random.RandomState(23)
+        first = list(rng.randint(2, CFG.vocab_size, 8))
+        late = list(rng.randint(2, CFG.vocab_size, 5))
+        srv = self._server()
+        r0 = srv.submit(first, max_new_tokens=8)
+        for _ in range(2):
+            srv.step()
+        r1 = srv.submit(late, max_new_tokens=8)
+        out = srv.run()
+        assert out[r0] == isolated_beam(first, 8)
+        assert out[r1] == isolated_beam(late, 8)
+
+    def test_int8_cache(self):
+        rng = np.random.RandomState(24)
+        p = list(rng.randint(2, CFG.vocab_size, 9))
+        srv = self._server(cache_dtype=jnp.int8)
+        rid = srv.submit(p, max_new_tokens=5)
+        out = srv.run()
+        ids = jnp.asarray([p], jnp.int32)
+        from sow_tpu.eval.generate import beam_generate
+
+        oracle = beam_generate(
+            PARAMS, ids, jnp.ones_like(ids), CFG, max_new_tokens=5,
+            num_beams=4, cache_dtype=jnp.int8,
+        )
+        assert out[rid] == [int(x) for x in np.asarray(oracle)[0]]
+
+    def test_rejects_temperature(self):
+        srv = self._server()
+        try:
+            srv.submit([3, 4, 5], max_new_tokens=4, temperature=0.7)
+            assert False, "beam submit must reject temperature > 0"
+        except ValueError:
+            pass
