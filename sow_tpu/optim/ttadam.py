@@ -105,6 +105,22 @@ def ttadam(
     decompose for ``v``, and a sound nonnegative reconstruction. With
     ``v_mode="factored"`` the per-step full-matrix decompose count drops
     from 2 to 1 while total state stays far below dense Adam.
+    ``layout``: factor grid for the TT state (see ``matrix_tt_shapes``).
+    "uniform" (reference-shaped interleaved grid) or "matrix" — order-2,
+    in ``(m,1) x (1,n)``: the TT bond IS a plain rank-r factorization, so
+    decompose is one sketch + QR over the real matrix axes with zero
+    relayout, and the bond captures matrix singular structure.
+
+    TPU-recommended config, measured at the 8x 512x1376 bench (v5e,
+    state chained through timing): ``layout="matrix"`` (order-2 spec) +
+    ``v_mode="factored"`` = **1.04x dense Adam step time** at 83x state
+    compression and the best update fidelity of the matrix (rel-L2 0.75
+    vs dense Adam's update, vs 0.80 at 1.40x for uniform+factored and
+    2.1x for the all-TT uniform grid). ``ema_mode="tt"`` additionally
+    drops to ONE decompose/step and is sound ONLY on the matrix layout
+    (uniform-grid rounding discards the accumulated EMA — rel ~1.0) and
+    ONLY with ``v_mode="factored"`` (a TT-arithmetic ``v`` leaves
+    near-zero denominator regions: measured update rel-L2 > 1e4).
     """
     spec_fn = tt_spec or default_tt_spec()
 
