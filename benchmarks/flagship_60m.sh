@@ -20,16 +20,22 @@ TOK=artifacts/bpe32k.json
 mkdir -p "$OUT"
 
 COMMON="--model llama_60m --batch-size 256 --max-length 256
-  --num-training-steps 25000 --lr 0.01 --weight-decay 0.0
+  --num-training-steps 25000 --weight-decay 0.0
   --scheduler cosine --min-lr-ratio 0.03
   --data-dir $ROOTS --tokenizer-path $TOK
   --eval-every 2000 --eval-tokens 5000000 --logging-steps 200
   --save-every 12500 --auto-restart 3"
 
+# The readme's lr 0.01 is the SOW command's lr (it mostly drives the
+# embed/norm/head group; the factors train at sow_lr). There is no dense
+# command in the readme, and measured twice here, dense at lr 0.01
+# destabilizes after warmup (loss 3.0 -> 6.34 unigram plateau, grad-norm
+# spikes >200 by step 1800) — so the dense BASELINE runs at the standard
+# full-rank lr for this scale, 1e-3 (stable; see PARITY.md).
 for arch in linear sow; do
-  extra=""
+  extra="--lr 0.001"
   if [ "$arch" = "sow" ]; then
-    extra="--rank 50 --sow-accumulation 5000 --sow-lr 0.001"
+    extra="--lr 0.01 --rank 50 --sow-accumulation 5000 --sow-lr 0.001"
   fi
   echo "=== flagship $arch ==="
   python -m sow_tpu.train.pretrain $COMMON --architecture "$arch" $extra \
