@@ -60,13 +60,36 @@ def run_fixed_batch(params, cfg, reqs, pool, cache_dtype):
     return total_new, time.perf_counter() - t0
 
 
-def run_server(params, cfg, reqs, pool, cache_dtype, max_len, decode_chunk=8):
+def run_fixed_batch_beam(params, cfg, reqs, pool, cache_dtype, k):
+    """Reference-style beam eval (commonsense_evaluate.py:79-85): fixed
+    batches of pool/k requests (same cache rows as the server's pool),
+    each batch decoded to its max budget with beam_generate."""
+    from sow_tpu.eval.generate import beam_generate, left_pad
+
+    per_batch = max(pool // k, 1)
+    total_new = 0
+    t0 = time.perf_counter()
+    for i in range(0, len(reqs), per_batch):
+        chunk = reqs[i : i + per_batch]
+        budget = max(b for _, b in chunk)
+        ids, mask = left_pad([p for p, _ in chunk], 0)
+        out = beam_generate(
+            params, jnp.asarray(ids), jnp.asarray(mask), cfg,
+            max_new_tokens=budget, num_beams=k, cache_dtype=cache_dtype,
+        )
+        jax.block_until_ready(out)
+        total_new += sum(b for _, b in chunk)
+    return total_new, time.perf_counter() - t0
+
+
+def run_server(params, cfg, reqs, pool, cache_dtype, max_len, decode_chunk=8,
+               num_beams=1):
     from sow_tpu.eval.serve import GenerationServer
 
     srv = GenerationServer(
         params, cfg, max_batch=pool, max_len=max_len,
         cache_dtype=cache_dtype, prompt_buckets=(32, 64, 128, 256),
-        decode_chunk=decode_chunk,
+        decode_chunk=decode_chunk, num_beams=num_beams,
     )
     for prompt, budget in reqs:
         srv.submit(prompt, max_new_tokens=budget)
@@ -83,6 +106,9 @@ def main():
     p.add_argument("--requests", type=int, default=64)
     p.add_argument("--int8-kv-cache", action="store_true")
     p.add_argument("--decode-chunk", type=int, default=16)
+    p.add_argument("--num-beams", type=int, default=1,
+                   help=">1: compare fixed-batch beam_generate vs the "
+                        "server's grouped beam mode (same cache rows)")
     args = p.parse_args()
 
     from sow_tpu.models import get_config, init_params
@@ -94,23 +120,30 @@ def main():
     cache_dtype = jnp.int8 if args.int8_kv_cache else None
     max_len = 224 + 64  # workload ceiling
 
+    k = args.num_beams
+    if k > 1:
+        fixed = lambda: run_fixed_batch_beam(params, cfg, reqs, args.pool, cache_dtype, k)
+    else:
+        fixed = lambda: run_fixed_batch(params, cfg, reqs, args.pool, cache_dtype)
+    server = lambda: run_server(
+        params, cfg, reqs, args.pool, cache_dtype, max_len, args.decode_chunk, k
+    )
+
     # warm pass compiles every signature each engine will see (fixed-batch
     # recompiles per ragged (prompt_len, budget) chunk signature — running
     # the FULL workload once makes the measured pass compile-free for both)
-    run_fixed_batch(params, cfg, reqs, args.pool, cache_dtype)
-    run_server(params, cfg, reqs, args.pool, cache_dtype, max_len, args.decode_chunk)
+    fixed()
+    server()
 
-    n_fixed, dt_fixed = run_fixed_batch(params, cfg, reqs, args.pool, cache_dtype)
-    n_srv, dt_srv = run_server(
-        params, cfg, reqs, args.pool, cache_dtype, max_len, args.decode_chunk
-    )
+    n_fixed, dt_fixed = fixed()
+    n_srv, dt_srv = server()
 
     for name, n, dt in (("fixed_batch", n_fixed, dt_fixed), ("continuous", n_srv, dt_srv)):
         print(json.dumps({
             "engine": name, "model": args.model, "pool": args.pool,
             "requests": args.requests, "generated_tokens": n,
             "seconds": round(dt, 3), "tokens_per_s": round(n / dt, 1),
-            "int8_kv": bool(args.int8_kv_cache),
+            "int8_kv": bool(args.int8_kv_cache), "num_beams": k,
         }))
 
 
