@@ -144,6 +144,7 @@ def local_text_batches(
     # large documents
     shuffle_buffer: int = 32_768,
     repeat: Optional[bool] = None,
+    val_percent: int = 2,
 ) -> Iterator[dict]:
     """Yield ``{"input_ids", "attention_mask"}`` numpy batches from local
     files — the offline counterpart of ``c4.c4_batches``.
@@ -154,7 +155,7 @@ def local_text_batches(
     through a size-``shuffle_buffer`` reservoir like the reference's
     streaming ``.shuffle`` (``simple_train.py:289``).
     """
-    files = corpus_files(roots, split=split)
+    files = corpus_files(roots, split=split, val_percent=val_percent)
     if not files:
         raise FileNotFoundError(f"no corpus files under {roots}")
     if repeat is None:
