@@ -245,6 +245,16 @@ def main(argv=None):
                    help="quantized KV cache: half the cache HBM, faster decode")
     p.add_argument("--engine", choices=("batch", "server"), default="batch",
                    help="server = continuous batching (greedy only)")
+    # speculative decoding (greedy batch engine): a small same-tokenizer
+    # draft model proposes --spec-gamma tokens per target verify forward;
+    # output is token-identical to plain greedy (eval/speculative.py)
+    p.add_argument("--draft-model", type=str, default=None,
+                   help="config name of a draft model enabling speculative decoding")
+    p.add_argument("--draft-checkpoint", type=str, default=None)
+    p.add_argument("--draft-arch", choices=("linear", "sow"), default="linear",
+                   help="template to restore --draft-checkpoint into "
+                        "(sow = pretrain-style blank SoW layers, folded after restore)")
+    p.add_argument("--spec-gamma", type=int, default=4)
     p.add_argument("--mesh-data", type=int, default=-1,
                    help="-1 absorbs remaining devices (trainer convention)")
     p.add_argument("--mesh-fsdp", type=int, default=1)
@@ -291,7 +301,39 @@ def main(argv=None):
         max_new_tokens=args.max_new_tokens, num_beams=num_beams,
         int8_kv_cache=args.int8_kv_cache, engine=args.engine, mesh=mesh,
     )
-    out = evaluate_commonsense(params, model_cfg, tok, records, cfg)
+
+    decode_fn = None
+    if args.draft_model is not None:
+        if num_beams > 1 or args.engine != "batch":
+            p.error("--draft-model requires --engine batch --num-beams 1")
+        from sow_tpu.eval.speculative import speculative_generate
+
+        draft_cfg = get_config(args.draft_model)
+        if draft_cfg.vocab_size != model_cfg.vocab_size:
+            p.error("draft and target must share a tokenizer/vocab")
+        draft = llama_lib.init_params(jax.random.PRNGKey(2), draft_cfg)
+        if args.draft_arch == "sow":
+            draft = prepare_sow(
+                draft,
+                SoWConfig(target_modules=llama_lib.LLAMA_TARGET_MODULES,
+                          rank=args.rank, decompose=None),
+                jax.random.PRNGKey(3),
+            )
+        if args.draft_checkpoint:
+            dckpt = latest_checkpoint(args.draft_checkpoint) or args.draft_checkpoint
+            draft, _ = restore_params(draft, dckpt)
+        if args.draft_arch == "sow":
+            draft = llama_lib.merge_sow_to_dense(draft)
+
+        def decode_fn(ids, mask):
+            out, _ = speculative_generate(
+                params, draft, ids, mask, model_cfg, draft_cfg,
+                max_new_tokens=cfg.max_new_tokens, gamma=args.spec_gamma,
+                eos_token_id=tok.eos_token_id, cache_dtype=cfg.cache_dtype,
+            )
+            return out
+
+    out = evaluate_commonsense(params, model_cfg, tok, records, cfg, decode_fn=decode_fn)
     print(json.dumps({"accuracy": out["accuracy"], "n": out["n"]}))
 
 
