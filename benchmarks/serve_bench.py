@@ -99,6 +99,26 @@ def run_server(params, cfg, reqs, pool, cache_dtype, max_len, decode_chunk=8,
     return sum(len(v) for v in out.values()), dt
 
 
+def run_tiered(params, cfg, reqs, pool, cache_dtype, max_len, decode_chunk=8):
+    """Length-tiered pools at (approximately) the single-pool slot count:
+    half the slots in a short tier, half in the deep tier."""
+    from sow_tpu.eval.tiered import TieredServer
+
+    short = 128  # covers prompt<=96 + budget<=32 traffic
+    srv = TieredServer(
+        params, cfg,
+        tiers=((pool // 2, short), (pool - pool // 2, max_len)),
+        cache_dtype=cache_dtype, prompt_buckets=(32, 64, 128, 256),
+        decode_chunk=decode_chunk,
+    )
+    for prompt, budget in reqs:
+        srv.submit(prompt, max_new_tokens=budget)
+    t0 = time.perf_counter()
+    out = srv.run()
+    dt = time.perf_counter() - t0
+    return sum(len(v) for v in out.values()), dt, srv.cache_bytes()
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="llama_1b")
@@ -109,6 +129,8 @@ def main():
     p.add_argument("--num-beams", type=int, default=1,
                    help=">1: compare fixed-batch beam_generate vs the "
                         "server's grouped beam mode (same cache rows)")
+    p.add_argument("--tiered", action="store_true",
+                   help="also run the length-tiered pool server (greedy only)")
     args = p.parse_args()
 
     from sow_tpu.models import get_config, init_params
@@ -144,7 +166,21 @@ def main():
             "requests": args.requests, "generated_tokens": n,
             "seconds": round(dt, 3), "tokens_per_s": round(n / dt, 1),
             "int8_kv": bool(args.int8_kv_cache), "num_beams": k,
-        }))
+        }), flush=True)
+
+    if args.tiered and k == 1:
+        tiered = lambda: run_tiered(
+            params, cfg, reqs, args.pool, cache_dtype, max_len, args.decode_chunk
+        )
+        tiered()  # warm
+        n_t, dt_t, cache_bytes = tiered()
+        print(json.dumps({
+            "engine": "tiered", "model": args.model, "pool": args.pool,
+            "requests": args.requests, "generated_tokens": n_t,
+            "seconds": round(dt_t, 3), "tokens_per_s": round(n_t / dt_t, 1),
+            "cache_mib": round(cache_bytes / 2**20, 1),
+            "int8_kv": bool(args.int8_kv_cache),
+        }), flush=True)
 
 
 if __name__ == "__main__":
