@@ -1,0 +1,51 @@
+#!/bin/bash
+# Round-3 chip-work queue, run after the flagship + conv9m chain frees the
+# (exclusive) TPU chip:
+#   1. train a llama-9m draft on the same local corpus + tokenizer as the
+#      flagship 60m checkpoints (for speculative decoding)
+#   2. llama-1b compute-bound MFU bench (VERDICT r2 #3) — bs 64, grad-accum
+#      fallback if HBM objects
+#   3. speculative decoding throughput: trained 9m draft vs 60m targets
+#   4. tiered-pool serving bench at 1b
+# Usage: bash benchmarks/round3_chip_queue.sh [outdir]
+cd "$(dirname "$0")/.."
+OUT=${1:-artifacts}
+ROOTS=/opt/venv/lib/python3.12/site-packages,/usr/lib/python3.11
+TOK=artifacts/bpe32k.json
+mkdir -p "$OUT"
+
+echo "=== [1/4] draft llama-9m pretrain ==="
+python -m sow_tpu.train.pretrain \
+  --model llama_9m --architecture linear --batch-size 256 --max-length 256 \
+  --num-training-steps 3000 --lr 0.001 --weight-decay 0.0 \
+  --scheduler cosine --min-lr-ratio 0.03 \
+  --data-dir "$ROOTS" --tokenizer-path "$TOK" \
+  --eval-every 0 --logging-steps 200 --save-every 3000 \
+  --save-dir "$OUT/draft9m_ckpt" --metrics-path "$OUT/draft9m.jsonl" \
+  > "$OUT/draft9m.log" 2>&1
+echo "draft exit: $?"
+
+echo "=== [2/4] llama-1b MFU bench ==="
+python benchmarks/mfu_1b.py 64 1 10 > "$OUT/mfu_1b.json" 2> "$OUT/mfu_1b.log"
+if [ $? -ne 0 ]; then
+  echo "bs64 accum1 failed; retrying with grad-accum 4"
+  python benchmarks/mfu_1b.py 64 4 10 > "$OUT/mfu_1b.json" 2>> "$OUT/mfu_1b.log"
+fi
+echo "mfu exit: $?"
+
+echo "=== [3/4] speculative decoding bench ==="
+for arch in sow linear; do
+  python benchmarks/spec_bench.py \
+    --target-ckpt "artifacts/flagship/${arch}_ckpt" --target-model llama_60m \
+    --target-arch "$arch" \
+    --draft-ckpt "$OUT/draft9m_ckpt" --draft-model llama_9m --draft-arch linear \
+    --tokenizer-path "$TOK" \
+    > "$OUT/spec_${arch}.json" 2> "$OUT/spec_${arch}.log"
+  echo "spec $arch exit: $?"
+done
+
+echo "=== [4/4] tiered serving bench (1b) ==="
+python benchmarks/serve_bench.py --model llama_1b --pool 16 --requests 64 \
+  --tiered > "$OUT/serve_tiered.json" 2> "$OUT/serve_tiered.log"
+echo "tiered exit: $?"
+echo "=== chip queue done ==="
