@@ -39,7 +39,7 @@ for arch in sow linear; do
     --target-ckpt "artifacts/flagship/${arch}_ckpt" --target-model llama_60m \
     --target-arch "$arch" \
     --draft-ckpt "$OUT/draft9m_ckpt" --draft-model llama_9m --draft-arch linear \
-    --tokenizer-path "$TOK" \
+    --tokenizer-path "$TOK" --server \
     > "$OUT/spec_${arch}.json" 2> "$OUT/spec_${arch}.log"
   echo "spec $arch exit: $?"
 done

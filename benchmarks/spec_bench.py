@@ -102,6 +102,12 @@ def main():
     p.add_argument("--prompt-len", type=int, default=128)
     p.add_argument("--new-tokens", type=int, default=128)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--server", action="store_true",
+                   help="also bench the continuous-batching server with and "
+                        "without the draft (speculative serving)")
+    p.add_argument("--pool", type=int, default=8)
+    p.add_argument("--server-requests", type=int, default=32)
+    p.add_argument("--server-gamma", type=int, default=4)
     args = p.parse_args()
 
     from sow_tpu.eval.generate import greedy_generate, left_pad
@@ -160,6 +166,37 @@ def main():
                 "vs_greedy": round(tps / base_tps, 3),
                 "rounds": int(stats["rounds"]),
                 "tokens_per_round": round(float(stats["tokens_per_round"]), 2),
+            }), flush=True)
+
+    if args.server:
+        from sow_tpu.eval.serve import GenerationServer
+
+        n = args.server_requests
+        reqs = (prompts * ((n // max(len(prompts), 1)) + 1))[:n]
+
+        def run_server(spec: bool):
+            kw = dict(max_batch=args.pool, max_len=args.prompt_len + args.new_tokens,
+                      prompt_buckets=(32, 64, 128, 256))
+            if spec:
+                kw.update(draft_params=draft, draft_cfg=dcfg,
+                          spec_gamma=args.server_gamma)
+            srv = GenerationServer(target, tcfg, **kw)
+            for pr in reqs:
+                srv.submit(pr, max_new_tokens=args.new_tokens)
+            t0 = time.perf_counter()
+            out = srv.run()
+            dt = time.perf_counter() - t0
+            return sum(len(v) for v in out.values()), dt
+
+        for spec in (False, True):
+            run_server(spec)  # warm
+            toks, dt = run_server(spec)
+            print(json.dumps({
+                "metric": "server_speculative" if spec else "server_plain",
+                "pool": args.pool, "requests": n,
+                "gamma": args.server_gamma if spec else None,
+                "generated_tokens": toks, "seconds": round(dt, 3),
+                "value": round(toks / dt, 1), "unit": "tokens/s",
             }), flush=True)
 
 

@@ -173,6 +173,133 @@ def _make_prefill(
 
 
 @lru_cache(maxsize=None)
+def _make_draft_prefill(cfg: llama_lib.LlamaConfig, bucket: int, group: int):
+    """Cache-only grouped prefill for the DRAFT model in speculative serving:
+    same packed layout and left-aligned scatter as ``_make_prefill``, but it
+    only fills the draft KV pool — slot state belongs to the target prefill."""
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def prefill(params, cache, packed):
+        ids = packed[:, :bucket].astype(jnp.int32)
+        mask = packed[:, bucket : 2 * bucket].astype(jnp.int32)
+        slots = packed[:, 2 * bucket].astype(jnp.int32)
+        t_real = packed[:, 2 * bucket + 1].astype(jnp.int32)
+
+        scratch = llama_lib.init_cache(cfg, group, bucket, dtype=cache[0]["k"].dtype)
+        positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+        _, scratch = llama_lib.forward_with_cache(
+            params, ids, cfg, scratch, 0, positions, mask
+        )
+        shift = t_real - bucket
+        new_cache = []
+        for pool, sc in zip(cache, scratch):
+            layer = {}
+            for name, buf in pool.items():
+                blk = sc[name]
+                blk = jax.vmap(lambda x, s: jnp.roll(x, s, axis=1))(blk, shift)
+                pad = buf.shape[2] - bucket
+                if pad > 0:
+                    padding = [(0, 0), (0, 0), (0, pad)] + [(0, 0)] * (blk.ndim - 3)
+                    blk = jnp.pad(blk, padding)
+                layer[name] = buf.at[slots].set(blk.astype(buf.dtype), mode="drop")
+            new_cache.append(layer)
+        return new_cache
+
+    return prefill
+
+
+@lru_cache(maxsize=None)
+def _make_spec_decode(
+    cfg: llama_lib.LlamaConfig,
+    draft_cfg: llama_lib.LlamaConfig,
+    rounds: int,
+    gamma: int,
+    eos: Optional[int],
+):
+    """Jitted speculative decode chunk: ``rounds`` draft-propose/target-verify
+    rounds over the device slot state, each deciding 1..gamma+1 tokens per
+    active slot (greedy only — acceptance is exact-match, so the output is
+    token-identical to the plain decode path; see ``eval/speculative.py`` for
+    the acceptance algebra on the left-padded batch layout)."""
+
+    @partial(jax.jit, donate_argnums=(2, 3, 4))
+    def decode(params, draft_params, cache, draft_cache, dstate):
+        max_len = dstate["out"].shape[1]
+        idx = jnp.arange(gamma + 1)[None, :]
+        col = jnp.arange(max_len)[None, :]
+
+        def spec_round(carry, _):
+            cache, dcache, st = carry
+
+            def draft_step(c, i):
+                dc, tok = c
+                logits, dc = llama_lib.forward_block_ragged(
+                    draft_params, tok[:, None], draft_cfg, dc, st["len"] + i
+                )
+                nxt = jnp.argmax(
+                    logits[:, 0].astype(jnp.float32), axis=-1
+                ).astype(jnp.int32)
+                return (dc, nxt), nxt
+
+            (dcache, _), props = jax.lax.scan(
+                draft_step, (dcache, st["tok"]), jnp.arange(gamma)
+            )
+            props = jnp.moveaxis(props, 0, 1)  # (B, gamma)
+
+            block = jnp.concatenate([st["tok"][:, None], props], axis=1)
+            logits, cache = llama_lib.forward_block_ragged(
+                params, block, cfg, cache, st["len"]
+            )
+            y = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+
+            match = props == y[:, :gamma]
+            a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+            bonus = jnp.take_along_axis(y, a[:, None], axis=1)
+            new_toks = jnp.where(
+                idx < a[:, None], jnp.pad(props, ((0, 0), (0, 1))), bonus
+            )
+
+            count = a + 1
+            if eos is not None:
+                is_eos = (new_toks == eos) & (idx < count[:, None])
+                first_eos = jnp.argmax(is_eos, axis=1)
+                count = jnp.where(is_eos.any(axis=1), first_eos + 1, count)
+            count = jnp.minimum(count, st["budget"])
+            count = jnp.where(st["act"], count, 0)
+
+            rel = col - st["ngen"][:, None]
+            take = jnp.take_along_axis(new_toks, jnp.clip(rel, 0, gamma), axis=1)
+            out = jnp.where((rel >= 0) & (rel < count[:, None]), take, st["out"])
+
+            newtok = jnp.take_along_axis(
+                new_toks, jnp.maximum(count - 1, 0)[:, None], axis=1
+            )[:, 0]
+            newtok = jnp.where(count > 0, newtok, st["tok"])
+            budget = st["budget"] - count
+            done = budget <= 0
+            if eos is not None:
+                done = done | (newtok == eos)
+            new = {
+                "tok": newtok,
+                "len": st["len"] + count,
+                "act": st["act"] & ~done,
+                "budget": budget,
+                "temp": st["temp"],
+                "ngen": st["ngen"] + count,
+                "out": out,
+                "ctr": st["ctr"] + 1,
+            }
+            return (cache, dcache, new), None
+
+        (cache, draft_cache, dstate), _ = jax.lax.scan(
+            spec_round, (cache, draft_cache, dstate), None, length=rounds
+        )
+        return cache, draft_cache, dstate
+
+    return decode
+
+
+@lru_cache(maxsize=None)
 def _make_decode(
     cfg: llama_lib.LlamaConfig, decode_chunk: int, eos: Optional[int], seed: int
 ):
@@ -460,6 +587,13 @@ class GenerationServer:
         mesh=None,
         eos_sync_ticks: Optional[int] = None,
         num_beams: int = 1,
+        # speculative decoding: a smaller same-vocab draft model proposes
+        # spec_gamma greedy tokens per target verify forward; each decode
+        # "tick" becomes a spec ROUND deciding 1..gamma+1 tokens per slot.
+        # Output stays token-identical to the plain greedy path.
+        draft_params: Optional[dict] = None,
+        draft_cfg=None,
+        spec_gamma: int = 4,
     ):
         self.params = params
         self.cfg = cfg
@@ -470,6 +604,15 @@ class GenerationServer:
         self.num_beams = num_beams
         if num_beams > 1 and max_batch % num_beams:
             raise ValueError("max_batch must be a multiple of num_beams")
+        self._spec = draft_params is not None
+        self.spec_gamma = spec_gamma
+        if self._spec:
+            if num_beams > 1:
+                raise ValueError("speculative serving is greedy-only (no beams)")
+            if draft_cfg is None:
+                raise ValueError("draft_params requires draft_cfg")
+            if draft_cfg.vocab_size != cfg.vocab_size:
+                raise ValueError("draft and target must share a vocab")
         # beam mode: the pool is n_groups contiguous blocks of num_beams
         # slots; one request occupies a whole block (ref beam-4 eval,
         # commonsense_evaluate.py:79-85)
@@ -478,8 +621,19 @@ class GenerationServer:
             min(32, max_len),  # tiny max_len: seed the ladder, auto-extends
         )
         dtype = cache_dtype or params["embed"]["embedding"].dtype
-        self.cache = llama_lib.init_cache(cfg, max_batch, max_len, dtype=dtype)
+        # speculative verify blocks overshoot a slot's final length by up to
+        # gamma positions; give both pools that scratch headroom (submit's
+        # prompt+budget bound stays at max_len)
+        pool_len = max_len + (spec_gamma if self._spec else 0)
+        self.cache = llama_lib.init_cache(cfg, max_batch, pool_len, dtype=dtype)
         self._beam = num_beams > 1
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.draft_cache = (
+            llama_lib.init_cache(draft_cfg, max_batch, pool_len, dtype=dtype)
+            if self._spec
+            else None
+        )
         if mesh is not None:
             # multi-chip serving: weights TP/FSDP-sharded by the training
             # path rules, cache sharded over KV heads on the `model` axis;
@@ -488,6 +642,13 @@ class GenerationServer:
             from sow_tpu.parallel.mesh import params_shardings
             self.params = jax.device_put(params, params_shardings(mesh, params))
             self.cache = jax.device_put(self.cache, _cache_shardings(mesh, self.cache))
+            if self._spec:
+                self.draft_params = jax.device_put(
+                    draft_params, params_shardings(mesh, draft_params)
+                )
+                self.draft_cache = jax.device_put(
+                    self.draft_cache, _cache_shardings(mesh, self.draft_cache)
+                )
 
         # device-resident slot state + minimal host mirror (scheduling only).
         # In beam mode the host schedules GROUPS (one request = one block of
@@ -522,6 +683,10 @@ class GenerationServer:
         # shares compiles — restarting a server must not recompile the engine
         if self._beam:
             self._decode = _make_beam_decode(cfg, decode_chunk, num_beams, eos_token_id)
+        elif self._spec:
+            self._decode = _make_spec_decode(
+                cfg, draft_cfg, decode_chunk, spec_gamma, eos_token_id
+            )
         else:
             self._decode = _make_decode(cfg, decode_chunk, eos_token_id, sample_seed)
         # drain mode: with nothing pending there is no reason to come back
@@ -534,6 +699,10 @@ class GenerationServer:
         elif self._beam:
             self._decode_long = _make_beam_decode(
                 cfg, self.drain_chunk, num_beams, eos_token_id
+            )
+        elif self._spec:
+            self._decode_long = _make_spec_decode(
+                cfg, draft_cfg, self.drain_chunk, spec_gamma, eos_token_id
             )
         else:
             self._decode_long = _make_decode(
@@ -559,6 +728,9 @@ class GenerationServer:
             raise ValueError("empty prompt")
         if self._beam and temperature > 0:
             raise ValueError("beam search is deterministic; temperature must be 0")
+        if self._spec and temperature > 0:
+            # exact-match acceptance is only lossless under greedy decoding
+            raise ValueError("speculative serving is greedy-only; temperature must be 0")
         rid = self._next_id
         self._next_id += 1
         if len(prompt_ids) + max_new_tokens > self.max_len:
@@ -662,9 +834,12 @@ class GenerationServer:
             # NO host download: the first token is sampled on device and
             # written into the device slot state; the host learns it at the
             # next sync
-            self.cache, self.dstate = fn(
-                self.params, self.cache, self.dstate, jnp.asarray(packed)
-            )
+            packed = jnp.asarray(packed)
+            self.cache, self.dstate = fn(self.params, self.cache, self.dstate, packed)
+            if self._spec:
+                # the draft pool must hold the prompt K/V too
+                dfn = _make_draft_prefill(self.draft_cfg, bucket, group)
+                self.draft_cache = dfn(self.draft_params, self.draft_cache, packed)
             self._n_prefill_calls += 1
             self._n_prefilled += g_real
             for g, (rid, (prompt, max_new, temperature)) in enumerate(batch):
@@ -740,7 +915,16 @@ class GenerationServer:
         use_long = not self.pending and max(remaining) >= self.drain_chunk
         decode = self._decode_long if use_long else self._decode
         n = self.drain_chunk if use_long else self.decode_chunk
-        self.cache, self.dstate = decode(self.params, self.cache, self.dstate)
+        if self._spec:
+            # one spec "tick" = one draft-propose/target-verify round deciding
+            # 1..gamma+1 tokens per slot; `dispatched` counts rounds, which
+            # keeps the min-progress bound above (>=1 token/round) valid
+            self.cache, self.draft_cache, self.dstate = decode(
+                self.params, self.draft_params, self.cache, self.draft_cache,
+                self.dstate,
+            )
+        else:
+            self.cache, self.dstate = decode(self.params, self.cache, self.dstate)
         self._chunk_counter += 1
         self._n_decode_ticks += n * self.max_batch
         self._n_occupied_ticks += n * len(occupied) * self.num_beams
@@ -755,7 +939,10 @@ class GenerationServer:
         occupied = [s for s in self.slots if s is not None]
         if not occupied:
             return False
-        if any(s.known_ngen + s.dispatched >= s.max_new for s in occupied):
+        # spec rounds decide up to gamma+1 tokens, so a slot may be done
+        # after max_new/(gamma+1) rounds — sync when retirement is POSSIBLE
+        mult = (self.spec_gamma + 1) if self._spec else 1
+        if any(s.known_ngen + s.dispatched * mult >= s.max_new for s in occupied):
             return True
         return self.eos is not None and any(
             s.dispatched >= self.eos_sync_ticks for s in occupied
@@ -844,6 +1031,14 @@ def main(argv=None):
     p.add_argument("--mesh-data", type=int, default=-1)
     p.add_argument("--mesh-fsdp", type=int, default=1)
     p.add_argument("--mesh-model", type=int, default=1)
+    # speculative serving: a smaller same-tokenizer draft model; outputs stay
+    # token-identical to the plain greedy engine
+    p.add_argument("--draft-model", type=str, default=None)
+    p.add_argument("--draft-checkpoint", type=str, default=None)
+    p.add_argument("--draft-arch", choices=("linear", "sow"), default="linear",
+                   help="template for --draft-checkpoint (sow = pretrain-style "
+                        "blank SoW layers, folded to dense after restore)")
+    p.add_argument("--spec-gamma", type=int, default=4)
     args = p.parse_args(argv)
 
     from sow_tpu.data.byte_tokenizer import load_tokenizer_or_byte
@@ -882,11 +1077,41 @@ def main(argv=None):
         mesh = make_mesh(data=args.mesh_data, fsdp=args.mesh_fsdp,
                          model=args.mesh_model)
 
+    draft_params = draft_cfg = None
+    if args.draft_model:
+        from sow_tpu.models import llama as _ll
+
+        draft_cfg = get_config(args.draft_model)
+        draft_params = init_params(jax.random.PRNGKey(2), draft_cfg, dtype=jnp.bfloat16)
+        if args.draft_arch == "sow":
+            from sow_tpu.nn import SoWConfig, prepare_sow
+
+            draft_params = prepare_sow(
+                draft_params,
+                SoWConfig(target_modules=_ll.LLAMA_TARGET_MODULES,
+                          rank=args.rank, decompose=None),
+                jax.random.PRNGKey(3),
+            )
+        if args.draft_checkpoint:
+            from sow_tpu.checkpoint import latest_checkpoint, restore_params
+
+            draft_params, _ = restore_params(
+                draft_params,
+                latest_checkpoint(args.draft_checkpoint) or args.draft_checkpoint,
+            )
+        if args.draft_arch == "sow":
+            draft_params = _ll.merge_sow_to_dense(draft_params)
+            draft_params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.bfloat16), draft_params
+            )
+
     srv = GenerationServer(
         params, cfg, max_batch=args.pool, max_len=args.max_len,
         eos_token_id=tok.eos_token_id,
         cache_dtype=jnp.int8 if args.int8_kv_cache else None,
         decode_chunk=args.decode_chunk, mesh=mesh,
+        draft_params=draft_params, draft_cfg=draft_cfg,
+        spec_gamma=args.spec_gamma,
     )
 
     stream = sys.stdin if args.input == "-" else open(args.input)

@@ -643,6 +643,48 @@ def forward_decode_ragged(
     return logits[:, 0], new_cache
 
 
+def forward_block_ragged(
+    params: dict,
+    tokens: jax.Array,  # (B, S) — a block of S tokens per slot
+    cfg: LlamaConfig,
+    cache: list[dict],
+    lengths: jax.Array,  # (B,) — tokens already in each slot's cache
+) -> tuple[jax.Array, list[dict]]:
+    """S-token generalization of ``forward_decode_ragged``: slot b ingests
+    ``tokens[b, s]`` at its own cache position ``lengths[b] + s``, attending
+    slots ``<= lengths[b] + s``. Returns (logits (B, S, vocab), cache).
+
+    This is the speculative-verify primitive for the continuous-batching
+    server (left-aligned slot layout, so RoPE position == cache position):
+    the target model scores a draft's gamma proposals in ONE forward while
+    every pool slot sits at a different length. Same select-vs-scatter
+    cache-write gate as the single-token path."""
+    b, s_len = tokens.shape
+    max_len = cache[0]["k"].shape[2]
+    bidx = jnp.arange(b)
+
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (max_len,), 0)
+    q_end = lengths[:, None, None] + jnp.arange(s_len)[None, :, None]  # (B, S, 1)
+    mask = (k_pos[None, None, :] <= q_end)[:, None]  # (B, 1, S, max_len)
+    positions = lengths[:, None] + jnp.arange(s_len)  # (B, S)
+
+    def write(buf, val):
+        # val: (B, kvh, S[, hd]) -> slot b's positions lengths[b] + [0, S)
+        val = val.astype(buf.dtype)
+        if buf.nbytes <= _WHERE_WRITE_MAX_BYTES:
+            s_idx = k_pos[None, :] - lengths[:, None]  # (B, max_len)
+            valid = (s_idx >= 0) & (s_idx < s_len)
+            gidx = jnp.clip(s_idx, 0, s_len - 1)[:, None, :]  # (B, 1, max_len)
+            if buf.ndim == 4:
+                gathered = jnp.take_along_axis(val, gidx[..., None], axis=2)
+                return jnp.where(valid[:, None, :, None], gathered, buf)
+            gathered = jnp.take_along_axis(val, gidx, axis=2)
+            return jnp.where(valid[:, None, :], gathered, buf)
+        return buf.at[bidx[:, None], :, positions].set(jnp.moveaxis(val, 2, 1))
+
+    return _cached_forward(params, tokens, cfg, cache, positions, mask, write)
+
+
 # -- HF interop --------------------------------------------------------------
 
 def params_from_hf_state_dict(state_dict: dict, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
