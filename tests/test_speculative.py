@@ -124,3 +124,60 @@ class TestAccounting:
         )
         got, _ = spec(ids, mask, max_new_tokens=6, gamma=2, cache_dtype=jnp.int8)
         np.testing.assert_array_equal(got, want)
+
+
+class TestSampling:
+    def test_accept_residual_step_preserves_target_dist(self):
+        """Monte Carlo of one accept/residual step: draft token d ~ q,
+        accept iff u*q(d) < p(d), else resample from norm(max(p-q,0)) —
+        the output must be distributed exactly as p (Leviathan/Chen lemma)."""
+        from sow_tpu.eval.speculative import _residual_sample
+
+        V, N = 8, 20000
+        kp, kq = jax.random.PRNGKey(10), jax.random.PRNGKey(11)
+        p = jax.nn.softmax(jax.random.normal(kp, (V,)) * 1.5)
+        q = jax.nn.softmax(jax.random.normal(kq, (V,)) * 1.5)
+
+        def one(key):
+            kd, ku, kr = jax.random.split(key, 3)
+            d = jax.random.categorical(kd, jnp.log(q))
+            u = jax.random.uniform(ku)
+            accept = u * jnp.maximum(q[d], 1e-30) < p[d]
+            res = _residual_sample(p[None], q[None], kr)[0]
+            return jnp.where(accept, d, res)
+
+        keys = jax.random.split(jax.random.PRNGKey(12), N)
+        samples = np.asarray(jax.vmap(one)(keys))
+        emp = np.bincount(samples, minlength=V) / N
+        tv = 0.5 * np.abs(emp - np.asarray(p)).sum()
+        assert tv < 0.02, (tv, emp, np.asarray(p))
+
+    def test_temperature_zero_limit_matches_greedy(self):
+        from sow_tpu.eval.speculative import speculative_sample
+
+        ids = jax.random.randint(jax.random.PRNGKey(13), (2, 7), 0, CFG.vocab_size)
+        mask = jnp.ones_like(ids)
+        want = np.asarray(greedy_generate(TARGET, ids, mask, CFG, max_new_tokens=8))
+        got, _ = speculative_sample(
+            TARGET, DRAFT, ids, mask, CFG, CFG, max_new_tokens=8,
+            key=jax.random.PRNGKey(14), gamma=3, temperature=1e-4,
+        )
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_reproducible_given_key(self):
+        from sow_tpu.eval.speculative import speculative_sample
+
+        ids = jax.random.randint(jax.random.PRNGKey(15), (2, 6), 0, CFG.vocab_size)
+        mask = jnp.ones_like(ids)
+        kw = dict(max_new_tokens=6, gamma=2, temperature=0.8)
+        a1, _ = speculative_sample(
+            TARGET, DRAFT, ids, mask, CFG, CFG, key=jax.random.PRNGKey(16), **kw
+        )
+        a2, _ = speculative_sample(
+            TARGET, DRAFT, ids, mask, CFG, CFG, key=jax.random.PRNGKey(16), **kw
+        )
+        b1, _ = speculative_sample(
+            TARGET, DRAFT, ids, mask, CFG, CFG, key=jax.random.PRNGKey(17), **kw
+        )
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        assert not np.array_equal(np.asarray(a1), np.asarray(b1))
