@@ -771,7 +771,9 @@ class GenerationServer:
           * ``efficiency`` = kept tokens / occupied slot-ticks — how much of
             the work done for live requests produced a kept token
             (retired-slot idling inside chunks; a chunk-length problem).
-        ``utilization`` (= occupancy x efficiency) stays for continuity."""
+        ``utilization`` (= occupancy x efficiency) stays for continuity.
+        Speculative serving counts ROUNDS as ticks, so ``efficiency`` > 1
+        measures the per-round speculation gain (up to gamma+1)."""
         ticks = self._n_decode_ticks
         occ = self._n_occupied_ticks
         return {

@@ -78,3 +78,14 @@ class TestTieredServer:
         assert len(st["tiers"]) == 2
         assert st["cache_bytes"] == srv.cache_bytes()
         assert all(out[r] for r in rids)
+
+    def test_composes_with_speculative_serving(self):
+        # server_kw passes straight through: tiered pools + a draft model
+        draft = init_params(jax.random.PRNGKey(7), CFG)
+        rng = np.random.RandomState(2)
+        prompts = [list(rng.randint(2, CFG.vocab_size, n)) for n in (5, 30)]
+        srv = make(draft_params=draft, draft_cfg=CFG, spec_gamma=2)
+        rids = [srv.submit(p, max_new_tokens=5) for p in prompts]
+        out = srv.run()
+        for rid, p in zip(rids, prompts):
+            assert out[rid] == isolated_greedy(p, 5), rid
