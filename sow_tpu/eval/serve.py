@@ -215,12 +215,20 @@ def _make_spec_decode(
     rounds: int,
     gamma: int,
     eos: Optional[int],
+    seed: int,
 ):
     """Jitted speculative decode chunk: ``rounds`` draft-propose/target-verify
     rounds over the device slot state, each deciding 1..gamma+1 tokens per
-    active slot (greedy only — acceptance is exact-match, so the output is
-    token-identical to the plain decode path; see ``eval/speculative.py`` for
-    the acceptance algebra on the left-padded batch layout)."""
+    active slot.
+
+    Greedy slots (``temp == 0``) use exact-match acceptance — token-identical
+    to the plain decode path. Sampling slots (``temp > 0``) run the
+    rejection-sampling scheme (accept d with prob min(1, p(d)/q(d)), first
+    rejection resamples from norm(max(p-q, 0))), which preserves the
+    target's sampling DISTRIBUTION exactly (see ``eval/speculative.py``);
+    keys derive from ``fold_in(PRNGKey(seed), ctr)`` per ROUND, so streams
+    are chunk-invariant and reproducible, but differ from the non-spec
+    engine's per-tick streams."""
 
     @partial(jax.jit, donate_argnums=(2, 3, 4))
     def decode(params, draft_params, cache, draft_cache, dstate):
@@ -230,31 +238,67 @@ def _make_spec_decode(
 
         def spec_round(carry, _):
             cache, dcache, st = carry
+            base_key = jax.random.fold_in(jax.random.PRNGKey(seed), st["ctr"])
+            inv_t = 1.0 / jnp.maximum(st["temp"], 1e-6)  # (B,)
+            sampling = st["temp"] > 0
 
             def draft_step(c, i):
                 dc, tok = c
                 logits, dc = llama_lib.forward_block_ragged(
                     draft_params, tok[:, None], draft_cfg, dc, st["len"] + i
                 )
-                nxt = jnp.argmax(
-                    logits[:, 0].astype(jnp.float32), axis=-1
+                lg = logits[:, 0].astype(jnp.float32)
+                greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                q = jax.nn.softmax(lg * inv_t[:, None], axis=-1)
+                gumbel = jax.random.gumbel(jax.random.fold_in(base_key, i), q.shape)
+                samp = jnp.argmax(
+                    jnp.log(jnp.maximum(q, 1e-30)) + gumbel, axis=-1
                 ).astype(jnp.int32)
-                return (dc, nxt), nxt
+                nxt = jnp.where(sampling, samp, greedy)
+                return (dc, nxt), (nxt, q)
 
-            (dcache, _), props = jax.lax.scan(
+            (dcache, _), (props, q_all) = jax.lax.scan(
                 draft_step, (dcache, st["tok"]), jnp.arange(gamma)
             )
             props = jnp.moveaxis(props, 0, 1)  # (B, gamma)
+            q_all = jnp.moveaxis(q_all, 0, 1)  # (B, gamma, V)
 
             block = jnp.concatenate([st["tok"][:, None], props], axis=1)
             logits, cache = llama_lib.forward_block_ragged(
                 params, block, cfg, cache, st["len"]
             )
-            y = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+            lg = logits.astype(jnp.float32)  # (B, gamma+1, V)
+            y = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            p_all = jax.nn.softmax(lg * inv_t[:, None, None], axis=-1)
 
-            match = props == y[:, :gamma]
+            # acceptance: exact-match for greedy slots, min(1, p/q) for
+            # sampling slots
+            p_sel = jnp.take_along_axis(
+                p_all[:, :gamma], props[..., None], axis=-1
+            )[..., 0]
+            q_sel = jnp.take_along_axis(q_all, props[..., None], axis=-1)[..., 0]
+            u = jax.random.uniform(jax.random.fold_in(base_key, gamma), (
+                props.shape[0], gamma
+            ))
+            acc_sample = u * jnp.maximum(q_sel, 1e-30) < p_sel
+            acc_greedy = props == y[:, :gamma]
+            match = jnp.where(sampling[:, None], acc_sample, acc_greedy)
             a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
-            bonus = jnp.take_along_axis(y, a[:, None], axis=1)
+
+            # token at position a: target argmax (greedy) or residual sample
+            bonus_greedy = jnp.take_along_axis(y, a[:, None], axis=1)[:, 0]
+            q_pad = jnp.concatenate([q_all, jnp.zeros_like(q_all[:, :1])], axis=1)
+            p_a = jnp.take_along_axis(p_all, a[:, None, None], axis=1)[:, 0]
+            q_a = jnp.take_along_axis(q_pad, a[:, None, None], axis=1)[:, 0]
+            r = jnp.maximum(p_a - q_a, 0.0)
+            r = jnp.where(jnp.sum(r, axis=-1, keepdims=True) < 1e-6, p_a, r)
+            res_gumbel = jax.random.gumbel(
+                jax.random.fold_in(base_key, gamma + 1), r.shape
+            )
+            bonus_sample = jnp.argmax(
+                jnp.log(jnp.maximum(r, 1e-30)) + res_gumbel, axis=-1
+            ).astype(jnp.int32)
+            bonus = jnp.where(sampling, bonus_sample, bonus_greedy)[:, None]
             new_toks = jnp.where(
                 idx < a[:, None], jnp.pad(props, ((0, 0), (0, 1))), bonus
             )
@@ -588,9 +632,11 @@ class GenerationServer:
         eos_sync_ticks: Optional[int] = None,
         num_beams: int = 1,
         # speculative decoding: a smaller same-vocab draft model proposes
-        # spec_gamma greedy tokens per target verify forward; each decode
-        # "tick" becomes a spec ROUND deciding 1..gamma+1 tokens per slot.
-        # Output stays token-identical to the plain greedy path.
+        # spec_gamma tokens per target verify forward; each decode "tick"
+        # becomes a spec ROUND deciding 1..gamma+1 tokens per slot. Greedy
+        # slots stay token-identical to the plain path; temp>0 slots use
+        # rejection sampling (distribution-exact, different RNG stream than
+        # the non-spec engine).
         draft_params: Optional[dict] = None,
         draft_cfg=None,
         spec_gamma: int = 4,
@@ -685,7 +731,7 @@ class GenerationServer:
             self._decode = _make_beam_decode(cfg, decode_chunk, num_beams, eos_token_id)
         elif self._spec:
             self._decode = _make_spec_decode(
-                cfg, draft_cfg, decode_chunk, spec_gamma, eos_token_id
+                cfg, draft_cfg, decode_chunk, spec_gamma, eos_token_id, sample_seed
             )
         else:
             self._decode = _make_decode(cfg, decode_chunk, eos_token_id, sample_seed)
@@ -702,7 +748,8 @@ class GenerationServer:
             )
         elif self._spec:
             self._decode_long = _make_spec_decode(
-                cfg, draft_cfg, self.drain_chunk, spec_gamma, eos_token_id
+                cfg, draft_cfg, self.drain_chunk, spec_gamma, eos_token_id,
+                sample_seed,
             )
         else:
             self._decode_long = _make_decode(
@@ -728,9 +775,6 @@ class GenerationServer:
             raise ValueError("empty prompt")
         if self._beam and temperature > 0:
             raise ValueError("beam search is deterministic; temperature must be 0")
-        if self._spec and temperature > 0:
-            # exact-match acceptance is only lossless under greedy decoding
-            raise ValueError("speculative serving is greedy-only; temperature must be 0")
         rid = self._next_id
         self._next_id += 1
         if len(prompt_ids) + max_new_tokens > self.max_len:

@@ -87,10 +87,27 @@ class TestSpecServer:
         assert out[rid] == isolated_greedy(prompt, 10, eos=eos)[: len(out[rid])]
         assert out[rid][-1] == eos or len(out[rid]) == 10
 
-    def test_rejects_temperature(self):
-        srv = make()
-        with pytest.raises(ValueError, match="greedy-only"):
-            srv.submit([3, 4, 5], max_new_tokens=4, temperature=0.7)
+    def test_sampling_reproducible_and_isolated(self):
+        """temp>0 slots run rejection-sampling rounds: reproducible given
+        the server seed, different across seeds, and a sampling slot must
+        not perturb a greedy slot's token-identity."""
+        rng = np.random.RandomState(6)
+        p_greedy = list(rng.randint(2, CFG.vocab_size, 6))
+        p_samp = list(rng.randint(2, CFG.vocab_size, 6))
+
+        def run(seed):
+            srv = make(sample_seed=seed)
+            rg = srv.submit(p_greedy, max_new_tokens=6)
+            rs = srv.submit(p_samp, max_new_tokens=6, temperature=0.9)
+            out = srv.run()
+            return out[rg], out[rs]
+
+        g1, s1 = run(0)
+        g2, s2 = run(0)
+        g3, s3 = run(123)
+        assert g1 == g2 == g3 == isolated_greedy(p_greedy, 6)
+        assert s1 == s2  # same seed -> same stream
+        assert s1 != s3  # different seed -> different stream (overwhelmingly)
 
     def test_int8_cache(self):
         rng = np.random.RandomState(5)
