@@ -24,8 +24,13 @@ COMMON="--model llama_9m --batch-size 128 --max-length 256
 run() {
   name=$1; shift
   echo "=== conv9m $name ==="
-  python -m sow_tpu.train.pretrain $COMMON "$@" \
-    --metrics-path "$OUT/$name.jsonl" 2>&1 | tail -3
+  # tunnel-wedge watchdog: rerun from scratch (runs are ~3-4 min) if the
+  # metrics file stalls >10 min (see watchdog_run.sh)
+  bash benchmarks/watchdog_run.sh "$OUT/$name.jsonl" 600 3 - -- \
+    python -m sow_tpu.train.pretrain $COMMON "$@" \
+    --metrics-path "$OUT/$name.jsonl" > "$OUT/$name.log" 2>&1 \
+    || echo "conv9m $name FAILED"
+  tail -2 "$OUT/$name.log"
 }
 
 SOW="--architecture sow --rank 32 --sow-accumulation 200 --sow-lr 0.001"

@@ -24,7 +24,7 @@ COMMON="--model llama_60m --batch-size 256 --max-length 256
   --scheduler cosine --min-lr-ratio 0.03
   --data-dir $ROOTS --tokenizer-path $TOK
   --eval-every 2000 --eval-tokens 5000000 --logging-steps 200
-  --save-every 12500 --auto-restart 3"
+  --save-every 1000 --auto-restart 3"
 
 # The readme's lr 0.01 is the SOW command's lr (it mostly drives the
 # embed/norm/head group; the factors train at sow_lr). There is no dense
@@ -38,8 +38,13 @@ for arch in linear sow; do
     extra="--lr 0.01 --rank 50 --sow-accumulation 5000 --sow-lr 0.001"
   fi
   echo "=== flagship $arch ==="
-  python -m sow_tpu.train.pretrain $COMMON --architecture "$arch" $extra \
+  # watchdog: the tunneled chip can wedge mid-run (threads all in futex
+  # wait, no exception raised) — kill + resume from the latest checkpoint
+  # if the metrics file stops advancing for 15 min.
+  bash benchmarks/watchdog_run.sh "$OUT/$arch.jsonl" 900 8 "$OUT/${arch}_ckpt" -- \
+    python -m sow_tpu.train.pretrain $COMMON --architecture "$arch" $extra \
     --metrics-path "$OUT/$arch.jsonl" --save-dir "$OUT/${arch}_ckpt" \
-    2>&1 | tee "$OUT/$arch.log"
+    >> "$OUT/$arch.log" 2>&1 \
+    || echo "=== flagship $arch FAILED (continuing) ==="
 done
 echo "=== done; curves in $OUT/{linear,sow}.jsonl ==="

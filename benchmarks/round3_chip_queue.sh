@@ -15,27 +15,28 @@ TOK=artifacts/bpe32k.json
 mkdir -p "$OUT"
 
 echo "=== [1/4] draft llama-9m pretrain ==="
-python -m sow_tpu.train.pretrain \
+bash benchmarks/watchdog_run.sh "$OUT/draft9m.jsonl" 600 5 "$OUT/draft9m_ckpt" -- \
+  python -m sow_tpu.train.pretrain \
   --model llama_9m --architecture linear --batch-size 256 --max-length 256 \
   --num-training-steps 3000 --lr 0.001 --weight-decay 0.0 \
   --scheduler cosine --min-lr-ratio 0.03 \
   --data-dir "$ROOTS" --tokenizer-path "$TOK" \
-  --eval-every 0 --logging-steps 200 --save-every 3000 \
+  --eval-every 0 --logging-steps 200 --save-every 1000 \
   --save-dir "$OUT/draft9m_ckpt" --metrics-path "$OUT/draft9m.jsonl" \
   > "$OUT/draft9m.log" 2>&1
 echo "draft exit: $?"
 
 echo "=== [2/4] llama-1b MFU bench ==="
-python benchmarks/mfu_1b.py 64 1 10 > "$OUT/mfu_1b.json" 2> "$OUT/mfu_1b.log"
+timeout 2400 python benchmarks/mfu_1b.py 64 1 10 > "$OUT/mfu_1b.json" 2> "$OUT/mfu_1b.log"
 if [ $? -ne 0 ]; then
   echo "bs64 accum1 failed; retrying with grad-accum 4"
-  python benchmarks/mfu_1b.py 64 4 10 > "$OUT/mfu_1b.json" 2>> "$OUT/mfu_1b.log"
+  timeout 2400 python benchmarks/mfu_1b.py 64 4 10 > "$OUT/mfu_1b.json" 2>> "$OUT/mfu_1b.log"
 fi
 echo "mfu exit: $?"
 
 echo "=== [3/4] speculative decoding bench ==="
 for arch in sow linear; do
-  python benchmarks/spec_bench.py \
+  timeout 2400 python benchmarks/spec_bench.py \
     --target-ckpt "artifacts/flagship/${arch}_ckpt" --target-model llama_60m \
     --target-arch "$arch" \
     --draft-ckpt "$OUT/draft9m_ckpt" --draft-model llama_9m --draft-arch linear \
@@ -45,7 +46,7 @@ for arch in sow linear; do
 done
 
 echo "=== [4/4] tiered serving bench (1b) ==="
-python benchmarks/serve_bench.py --model llama_1b --pool 16 --requests 64 \
+timeout 2400 python benchmarks/serve_bench.py --model llama_1b --pool 16 --requests 64 \
   --tiered > "$OUT/serve_tiered.json" 2> "$OUT/serve_tiered.log"
 echo "tiered exit: $?"
 echo "=== chip queue done ==="

@@ -1,0 +1,65 @@
+#!/bin/bash
+# Hang-watchdog wrapper for long chip runs over the tunneled TPU.
+#
+# The tunnel can wedge mid-run (observed: a 25k-step flagship run went
+# fully idle — every thread in futex wait — minutes after a VM restart,
+# with no exception for the trainer's in-process --auto-restart to catch).
+# A hang is invisible to `set -e`; the only robust recovery is an external
+# monitor on the run's progress file.
+#
+# Usage:
+#   watchdog_run.sh PROGRESS_FILE STALE_SECS MAX_RETRIES RESUME_DIR -- cmd...
+#
+# Runs `cmd...`; if PROGRESS_FILE's mtime goes stale for STALE_SECS while
+# the command is alive, kills the process group and reruns with
+# `--continue-from RESUME_DIR` appended (the pretrain CLI resumes params,
+# optimizer state, and step count from the latest checkpoint there).
+# RESUME_DIR=- disables the resume flag (plain rerun). Exits with the
+# command's final status.
+set -u
+PROGRESS=$1; STALE=$2; RETRIES=$3; RESUME=$4; shift 4
+[ "$1" = "--" ] && shift
+
+attempt=0
+extra=()
+while :; do
+  setsid "$@" "${extra[@]}" &
+  pid=$!
+  start=$(date +%s)
+  # NB: the child stays a zombie until `wait`, and `kill -0` succeeds on
+  # zombies — poll /proc state so a finished run is noticed within 30s
+  # instead of after STALE seconds.
+  while state=$(awk '{print $3}' "/proc/$pid/stat" 2>/dev/null) \
+        && [ -n "$state" ] && [ "$state" != "Z" ]; do
+    sleep 30
+    state=$(awk '{print $3}' "/proc/$pid/stat" 2>/dev/null)
+    [ -z "$state" ] || [ "$state" = "Z" ] && break
+    now=$(date +%s)
+    if [ -f "$PROGRESS" ]; then
+      mt=$(stat -c %Y "$PROGRESS")
+    else
+      mt=$start
+    fi
+    # also give a fresh process STALE secs to produce its first write
+    ref=$(( mt > start ? mt : start ))
+    if [ $(( now - ref )) -gt "$STALE" ]; then
+      echo "[watchdog] no progress on $PROGRESS for $((now - ref))s — killing pg $pid" >&2
+      kill -9 -- -"$pid" 2>/dev/null
+      wait "$pid" 2>/dev/null
+      break
+    fi
+  done
+  wait "$pid" 2>/dev/null
+  status=$?
+  [ $status -eq 0 ] && exit 0
+  attempt=$((attempt + 1))
+  if [ "$attempt" -gt "$RETRIES" ]; then
+    echo "[watchdog] giving up after $attempt attempts (status $status)" >&2
+    exit "$status"
+  fi
+  echo "[watchdog] attempt $attempt/$RETRIES: rerunning (status $status)" >&2
+  if [ "$RESUME" != "-" ] && ls "$RESUME"/*/ >/dev/null 2>&1; then
+    extra=(--continue-from "$RESUME")
+  fi
+  sleep 10
+done
