@@ -25,13 +25,17 @@ def bench_arch(architecture: str, steps: int = 20, warmup: int = 3) -> dict:
     from sow_tpu.optim.adamw import apply_updates
     from sow_tpu.train.trainer import TrainConfig, Trainer
 
+    import os
+
+    # env overrides exist so the subprocess/retry plumbing can be validated
+    # on CPU with a tiny model; the driver's real run uses the defaults
     cfg = TrainConfig(
-        model="llama_60m",
+        model=os.environ.get("BENCH_MODEL", "llama_60m"),
         architecture=architecture,
-        rank=50,
+        rank=int(os.environ.get("BENCH_RANK", "50")),
         sow_accumulation=0,  # keep the hot loop pure; accumulation is cold-path
-        batch_size=256,
-        max_length=256,
+        batch_size=int(os.environ.get("BENCH_BATCH", "256")),
+        max_length=int(os.environ.get("BENCH_LEN", "256")),
         dtype="bfloat16",
         num_training_steps=10_000,
         mesh_data=-1,
@@ -77,6 +81,7 @@ def bench_arch(architecture: str, steps: int = 20, warmup: int = 3) -> dict:
         "step_ms": dt / steps * 1e3,
         "optimizer_bytes": int(opt_bytes),
         "roofline": utilization(flops, hbm_bytes, dt / steps),
+        "device": str(jax.devices()[0]),
     }
 
 
@@ -86,9 +91,12 @@ def _galore_embed_opt_bytes() -> int:
     from sow_tpu.train.trainer import TrainConfig, Trainer
     from sow_tpu.utils.memory import optimizer_memory_usage
 
+    import os
+
     tr = Trainer(
         TrainConfig(
-            model="llama_60m", architecture="sow", rank=50, sow_accumulation=0,
+            model=os.environ.get("BENCH_MODEL", "llama_60m"), architecture="sow",
+            rank=int(os.environ.get("BENCH_RANK", "50")), sow_accumulation=0,
             galore_embeddings=True, galore_rank=128, batch_size=8, max_length=16,
             dtype="bfloat16", mesh_data=-1, mesh_fsdp=1, mesh_model=1,
         )
@@ -96,10 +104,45 @@ def _galore_embed_opt_bytes() -> int:
     return optimizer_memory_usage(tr.opt_state)
 
 
+def _run_child(arch: str, steps: int, timeout: int = 1500, tries: int = 3) -> dict:
+    """Run one arch's bench in a subprocess with a hard timeout.
+
+    The tunneled TPU can wedge mid-run (a device call blocks forever with
+    no exception — observed on the flagship runs); a wedged bench would
+    leave the driver with no BENCH record at all. A child process bounds
+    the damage: kill + retry up to ``tries`` times.
+    """
+    import os
+    import subprocess
+
+    last = None
+    for attempt in range(tries):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", arch, str(steps)],
+                capture_output=True, text=True, timeout=timeout,
+            )
+            if proc.returncode == 0:
+                return json.loads(proc.stdout.strip().splitlines()[-1])
+            last = f"exit {proc.returncode}: {proc.stderr[-500:]}"
+        except subprocess.TimeoutExpired:
+            last = f"timeout {timeout}s (wedged tunnel?)"
+        print(f"bench child {arch} attempt {attempt + 1}/{tries} failed: {last}",
+              file=sys.stderr)
+    raise RuntimeError(f"bench child {arch} failed after {tries} tries: {last}")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        arch, steps = sys.argv[2], int(sys.argv[3])
+        out = bench_arch(arch, steps)
+        if arch == "sow":
+            out["galore_embed_opt_bytes"] = int(_galore_embed_opt_bytes())
+        print(json.dumps(out))
+        return
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    dense = bench_arch("linear", steps)
-    sow = bench_arch("sow", steps)
+    dense = _run_child("linear", steps)
+    sow = _run_child("sow", steps)
     result = {
         "metric": "llama60m_sow_pretrain_throughput",
         "value": round(sow["tokens_per_sec"], 1),
@@ -113,7 +156,7 @@ def main():
             "dense_optimizer_bytes": dense["optimizer_bytes"],
             "optimizer_mem_ratio": round(sow["optimizer_bytes"] / dense["optimizer_bytes"], 4),
             "optimizer_mem_ratio_galore_embed": round(
-                _galore_embed_opt_bytes() / dense["optimizer_bytes"], 4
+                sow["galore_embed_opt_bytes"] / dense["optimizer_bytes"], 4
             ),
             # roofline (VERDICT r2 #3): hardware-honest utilization numbers
             "sow_mfu": round(sow["roofline"].get("mfu", 0.0), 4),
@@ -123,7 +166,7 @@ def main():
             "sow_hbm_gbps": round(sow["roofline"]["achieved_hbm_gbps"], 1),
             "sow_tflops_per_step": round(sow["roofline"]["tflops_per_step"], 2),
             "sow_gbytes_per_step": round(sow["roofline"]["gbytes_per_step"], 2),
-            "device": str(jax.devices()[0]),
+            "device": sow["device"],
         },
     }
     print(json.dumps(result))
