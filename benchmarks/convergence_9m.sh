@@ -41,6 +41,11 @@ run scale    $SOW --sow-scale-after-first 0.03125
 run acc100   --architecture sow --rank 32 --sow-accumulation 100 --sow-lr 0.001
 run acc400   --architecture sow --rank 32 --sow-accumulation 400 --sow-lr 0.001
 run r64      --architecture sow --rank 64 --sow-accumulation 200 --sow-lr 0.001
+# seed replicas for the headline pair (the deficit claim is a seeded one)
+run dense_s1 --architecture linear --seed 1
+run dense_s2 --architecture linear --seed 2
+run sow_s1   $SOW --seed 1
+run sow_s2   $SOW --seed 2
 echo "=== done; tail losses: ==="
 for f in "$OUT"/*.jsonl; do
   echo "$f: $(tail -1 "$f")"
