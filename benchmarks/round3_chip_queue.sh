@@ -1,12 +1,9 @@
 #!/bin/bash
 # Round-3 chip-work queue, run after the flagship + conv9m chain frees the
-# (exclusive) TPU chip:
-#   1. train a llama-9m draft on the same local corpus + tokenizer as the
-#      flagship 60m checkpoints (for speculative decoding)
-#   2. llama-1b compute-bound MFU bench (VERDICT r2 #3) — bs 64, grad-accum
-#      fallback if HBM objects
-#   3. speculative decoding throughput: trained 9m draft vs 60m targets
-#   4. tiered-pool serving bench at 1b
+# (exclusive) TPU chip. Ordered most-valuable-first so a wind-down cut
+# costs the least: achievable-HBM roofline ceiling, 1b compute-bound MFU
+# (VERDICT r2 #3), 9m draft pretrain, speculative decoding vs the trained
+# flagship targets, tiered-pool serving at 1b.
 # Usage: bash benchmarks/round3_chip_queue.sh [outdir]
 cd "$(dirname "$0")/.."
 OUT=${1:-artifacts}
@@ -14,7 +11,19 @@ ROOTS=/opt/venv/lib/python3.12/site-packages,/usr/lib/python3.11
 TOK=artifacts/bpe32k.json
 mkdir -p "$OUT"
 
-echo "=== [1/5] draft llama-9m pretrain ==="
+echo "=== [1/5] achievable HBM bandwidth (roofline ceiling) ==="
+timeout 900 python benchmarks/hbm_peak.py > "$OUT/hbm_peak.json" 2> "$OUT/hbm_peak.log"
+echo "hbm exit: $?"
+
+echo "=== [2/5] llama-1b MFU bench ==="
+timeout 2400 python benchmarks/mfu_1b.py 64 1 10 > "$OUT/mfu_1b.json" 2> "$OUT/mfu_1b.log"
+if [ $? -ne 0 ]; then
+  echo "bs64 accum1 failed; retrying with grad-accum 4"
+  timeout 2400 python benchmarks/mfu_1b.py 64 4 10 > "$OUT/mfu_1b.json" 2>> "$OUT/mfu_1b.log"
+fi
+echo "mfu exit: $?"
+
+echo "=== [3/5] draft llama-9m pretrain ==="
 bash benchmarks/watchdog_run.sh "$OUT/draft9m.jsonl" 600 5 "$OUT/draft9m_ckpt" -- \
   python -m sow_tpu.train.pretrain \
   --model llama_9m --architecture linear --batch-size 256 --max-length 256 \
@@ -26,15 +35,7 @@ bash benchmarks/watchdog_run.sh "$OUT/draft9m.jsonl" 600 5 "$OUT/draft9m_ckpt" -
   > "$OUT/draft9m.log" 2>&1
 echo "draft exit: $?"
 
-echo "=== [2/5] llama-1b MFU bench ==="
-timeout 2400 python benchmarks/mfu_1b.py 64 1 10 > "$OUT/mfu_1b.json" 2> "$OUT/mfu_1b.log"
-if [ $? -ne 0 ]; then
-  echo "bs64 accum1 failed; retrying with grad-accum 4"
-  timeout 2400 python benchmarks/mfu_1b.py 64 4 10 > "$OUT/mfu_1b.json" 2>> "$OUT/mfu_1b.log"
-fi
-echo "mfu exit: $?"
-
-echo "=== [3/5] speculative decoding bench ==="
+echo "=== [4/5] speculative decoding bench ==="
 for arch in sow linear; do
   timeout 2400 python benchmarks/spec_bench.py \
     --target-ckpt "artifacts/flagship/${arch}_ckpt" --target-model llama_60m \
@@ -45,12 +46,8 @@ for arch in sow linear; do
   echo "spec $arch exit: $?"
 done
 
-echo "=== [4/5] tiered serving bench (1b) ==="
+echo "=== [5/5] tiered serving bench (1b) ==="
 timeout 2400 python benchmarks/serve_bench.py --model llama_1b --pool 16 --requests 64 \
   --tiered > "$OUT/serve_tiered.json" 2> "$OUT/serve_tiered.log"
 echo "tiered exit: $?"
-
-echo "=== [5/5] achievable HBM bandwidth (roofline ceiling) ==="
-timeout 900 python benchmarks/hbm_peak.py > "$OUT/hbm_peak.json" 2> "$OUT/hbm_peak.log"
-echo "hbm exit: $?"
 echo "=== chip queue done ==="
