@@ -19,6 +19,7 @@
 set -u
 PROGRESS=$1; STALE=$2; RETRIES=$3; RESUME=$4; shift 4
 [ "$1" = "--" ] && shift
+POLL=${WD_POLL:-30}   # poll interval; overridable so tests run fast
 
 attempt=0
 extra=()
@@ -31,7 +32,7 @@ while :; do
   # instead of after STALE seconds.
   while state=$(awk '{print $3}' "/proc/$pid/stat" 2>/dev/null) \
         && [ -n "$state" ] && [ "$state" != "Z" ]; do
-    sleep 30
+    sleep "$POLL"
     state=$(awk '{print $3}' "/proc/$pid/stat" 2>/dev/null)
     [ -z "$state" ] || [ "$state" = "Z" ] && break
     now=$(date +%s)
@@ -61,5 +62,5 @@ while :; do
   if [ "$RESUME" != "-" ] && ls "$RESUME"/*/ >/dev/null 2>&1; then
     extra=(--continue-from "$RESUME")
   fi
-  sleep 10
+  sleep "${WD_RETRY_SLEEP:-10}"
 done
