@@ -62,6 +62,16 @@ def main():
                 f"median tokens/s {sorted(tps)[len(tps) // 2]:,.0f}"
             )
 
+    # time-to-quality: first eval step at which each run reaches the OTHER
+    # run's final eval loss (the SoW-vs-dense capacity story in one number)
+    if len(runs) == 2 and all(ev for _, ev in runs.values()):
+        a, b = cols
+        for x, y in ((a, b), (b, a)):
+            target = runs[y][1][-1]["eval_loss"]
+            hit = next((e["step"] for e in runs[x][1] if e["eval_loss"] <= target), None)
+            where = f"step {hit}" if hit is not None else "never"
+            print(f"{x} reaches {y}'s final eval loss ({target:.4f}): {where}")
+
 
 if __name__ == "__main__":
     main()
