@@ -37,6 +37,12 @@ for arch in linear sow; do
   if [ "$arch" = "sow" ]; then
     extra="--lr 0.01 --rank 50 --sow-accumulation 5000 --sow-lr 0.001"
   fi
+  # re-runnable across round boundaries: resume from the latest checkpoint
+  # when one exists (a completed arch resumes at step 25000 and exits
+  # immediately, so finished arms are skipped for free)
+  if ls "$OUT/${arch}_ckpt"/*/ >/dev/null 2>&1; then
+    extra="$extra --continue-from $OUT/${arch}_ckpt"
+  fi
   echo "=== flagship $arch ==="
   # watchdog: the tunneled chip can wedge mid-run (threads all in futex
   # wait, no exception raised) — kill + resume from the latest checkpoint

@@ -2,6 +2,7 @@
 decodes regardless of admission order / slot reuse."""
 
 import json
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -170,18 +171,30 @@ class TestGenerationServer:
     def test_stats_telemetry(self):
         rng = np.random.RandomState(12)
         prompts = [list(rng.randint(2, CFG.vocab_size, n)) for n in (5, 9, 13)]
-        srv = self._server()
-        for p in prompts:
-            srv.submit(p, max_new_tokens=4)
+        budgets = [2, 4, 12]  # ragged: two slots sit empty while #3 decodes
+        # decode_chunk < max budget so some chunks run after the short
+        # requests retired (the default 16 would finish everything in one)
+        srv = self._server(decode_chunk=4, drain_chunk=64)
+        for p, b in zip(prompts, budgets):
+            srv.submit(p, max_new_tokens=b)
         srv.run()
         s = srv.stats()
         assert s["requests_completed"] == 3
         assert s["requests_pending"] == 0 and s["slots_occupied"] == 0
-        # each request: 1 prefill token + 3 decode tokens
-        assert s["tokens_generated"] == 3 * 3
+        # each request: 1 prefill token + (budget - 1) decode tokens
+        assert s["tokens_generated"] == sum(b - 1 for b in budgets)
         assert s["decode_chunks"] >= 1
         assert 0.0 < s["utilization"] <= 1.0
         assert s["prefill_calls"] >= 1 and s["prefill_group_fill"] >= 1.0
+        # the occupancy/efficiency split (VERDICT r2 #9): empty-slot idling
+        # vs retired-slot idling, with utilization their product
+        assert 0.0 < s["occupancy"] <= 1.0
+        assert 0.0 < s["efficiency"] <= 1.0  # non-speculative: <= 1 token/tick
+        assert s["utilization"] == pytest.approx(s["occupancy"] * s["efficiency"])
+        # with ragged budgets some scheduled slots were empty, and the split
+        # must attribute that to occupancy, not efficiency
+        assert s["occupancy"] < 1.0
+        assert s["occupied_slot_ticks"] <= s["decode_slot_ticks"]
 
     def test_cli_jsonl(self, tmp_path, capsys):
         """The serving CLI reads JSONL requests and emits one JSONL result
