@@ -29,12 +29,105 @@ import numpy as np
 from sow_tpu.nn.sow import SoWLinear
 
 
-def _flatten_with_paths(tree) -> dict[str, np.ndarray]:
+def _u32_checksum_host(a: np.ndarray) -> int:
+    """Wraparound uint32 sum of the raw bytes of ``a`` (itemsize-padded)."""
+    raw = np.frombuffer(np.ascontiguousarray(a).tobytes(), np.uint8)
+    pad = (-raw.size) % 4
+    if pad:
+        raw = np.concatenate([raw, np.zeros(pad, np.uint8)])
+    return int(raw.view(np.uint32).sum(dtype=np.uint32))
+
+
+def _u32_checksum_device(leaf) -> "jax.Array":
+    """Device-side counterpart of :func:`_u32_checksum_host` (same bytes,
+    little-endian word assembly so no bitcast byte-order assumption)."""
+    x = jnp.ravel(leaf)
+    if x.dtype == jnp.bool_:
+        x = x.astype(jnp.uint8)
+    if x.dtype.itemsize == 1:
+        x = jax.lax.bitcast_convert_type(x, jnp.uint8)  # int8 -> raw bytes
+        pad = (-x.size) % 4
+        x = jnp.pad(x, (0, pad)) if pad else x
+        b = x.reshape(-1, 4).astype(jnp.uint32)
+        words = b[:, 0] + (b[:, 1] << 8) + (b[:, 2] << 16) + (b[:, 3] << 24)
+    elif x.dtype.itemsize == 2:
+        pad = (-x.size) % 2
+        x = jnp.pad(x, (0, pad)) if pad else x
+        h = jax.lax.bitcast_convert_type(x, jnp.uint16).reshape(-1, 2).astype(jnp.uint32)
+        words = h[:, 0] + (h[:, 1] << 16)
+    elif x.dtype.itemsize == 4:
+        words = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    else:  # 8-byte leaves: low/high u32 halves both land in the sum
+        words = jax.lax.bitcast_convert_type(x, jnp.uint32).ravel()
+    return jnp.sum(words, dtype=jnp.uint32)
+
+
+def _c_contig(a) -> np.ndarray:
+    """C-contiguous ndarray with shape preserved (np.ascontiguousarray
+    promotes 0-d to 1-d, which breaks scalar opt-state leaves)."""
+    a = np.asarray(a)
+    return a if a.flags.c_contiguous else np.ascontiguousarray(a).reshape(a.shape)
+
+
+def _flatten_with_paths(tree, verify: bool = True) -> dict[str, np.ndarray]:
+    """Host snapshot of a device tree, verified end-to-end.
+
+    ROOT CAUSE of the round-3 flagship checkpoint corruption (a step-10000
+    checkpoint that evaluated at loss 10.9 while the live model was at 1.3):
+    on the tunneled TPU runtime, ``device_get`` of a non-lane-aligned array
+    (last dim not a 128-multiple — exactly the (., 352)/(., 1376) mlp
+    gate/up kernels) hands back a NON-CONTIGUOUS strided view over the
+    padded transfer buffer. Numpy-level reads normalize strides, but
+    ``safetensors.numpy.save_file`` serializes raw ctypes memory — silently
+    writing padded garbage between rows. Every host array is therefore
+    forced C-contiguous here, and — defense in depth for a runtime that has
+    burned us — the transferred bytes are verified against on-device uint32
+    checksums computed from a jit-read of the same leaves, with per-leaf
+    retry through a fresh on-device copy on mismatch.
+    """
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    paths = [jax.tree_util.keystr(p) for p, _ in flat]
+    leaves = [leaf for _, leaf in flat]
+
+    on_device = any(isinstance(x, jax.Array) for x in leaves)
+    if not on_device:
+        return {p: _c_contig(x) for p, x in zip(paths, leaves)}
+
+    if not verify:
+        return {
+            p: _c_contig(jax.device_get(x)) for p, x in zip(paths, leaves)
+        }
+
+    # settle in-flight donated writes before reading, then batch: one jit
+    # call for all checksums, one batched transfer for all leaves
+    jax.block_until_ready([x for x in leaves if isinstance(x, jax.Array)])
+    sums = jax.jit(lambda t: [_u32_checksum_device(x) for x in t])(leaves)
+    sums = [int(s) for s in jax.device_get(sums)]
+    hosts = jax.device_get(leaves)
+
     out = {}
-    for path, leaf in flat:
-        out[jax.tree_util.keystr(path)] = np.asarray(jax.device_get(leaf))
+    for i, (path, leaf) in enumerate(zip(paths, leaves)):
+        host = _c_contig(hosts[i])
+        for attempt in range(4):
+            if _u32_checksum_host(host) == sums[i]:
+                break
+            # retry the slow, independent way: fresh on-device copy +
+            # single-leaf checksum from the same jit-read
+            snap = _copy_single(leaf)
+            sums[i] = int(_checksum_single(snap))
+            host = _c_contig(jax.device_get(snap))
+        else:
+            raise RuntimeError(
+                f"checkpoint transfer corruption at {path}: host bytes "
+                f"disagree with the on-device checksum after retries"
+            )
+        out[path] = host
     return out
+
+
+@jax.jit
+def _copy_single(leaf):
+    return jnp.copy(leaf)
 
 
 def _sow_meta(tree) -> dict[str, dict]:
@@ -140,10 +233,47 @@ def _rebuild_sow_template(template: Any, sow_meta: dict[str, dict], arrays: dict
     return rec(template, "")
 
 
-def restore_params(template: Any, ckpt_dir: str) -> tuple[Any, dict]:
+def _verify_uploaded_leaves(leaves: list, refs: list, paths: list) -> list:
+    """Bit-verify device ``leaves`` against host ``refs``; re-upload on
+    mismatch (the restore-direction counterpart of the save-path checks —
+    the tunneled runtime can corrupt transfers either way). ``refs`` is
+    ``None`` for leaves not sourced from the checkpoint or whose dtype was
+    cast on load; those are skipped."""
+    still = []
+    for i, r in enumerate(refs):
+        if r is None:
+            continue
+        want = _u32_checksum_host(r)
+        ok = False
+        for attempt in range(3):
+            # single-input jit checksum — batched multi-array calls misbind
+            # same-shaped buffers on the tunneled runtime (see
+            # _flatten_with_paths trust-model note)
+            if int(_checksum_single(leaves[i])) == want:
+                ok = True
+                break
+            leaves[i] = jnp.asarray(r)
+        if not ok:
+            still.append(i)
+    if still:
+        raise RuntimeError(
+            "restore transfer corruption persists after 3 attempts at: "
+            + ", ".join(paths[i] for i in still[:5])
+        )
+    return leaves
+
+
+@jax.jit
+def _checksum_single(leaf):
+    return _u32_checksum_device(leaf)
+
+
+def restore_params(template: Any, ckpt_dir: str, verify: bool = True) -> tuple[Any, dict]:
     """Restore params into (a possibly re-shaped copy of) ``template``.
 
-    Returns ``(params, training_state_dict)``.
+    Returns ``(params, training_state_dict)``. With ``verify`` (default),
+    every restored leaf's device bytes are checksum-verified against the
+    file contents and re-uploaded on mismatch.
     """
     from safetensors.numpy import load_file
 
@@ -154,9 +284,10 @@ def restore_params(template: Any, ckpt_dir: str) -> tuple[Any, dict]:
     template = _rebuild_sow_template(template, state.get("sow_meta", {}), arrays)
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
-    leaves = []
+    leaves, refs, paths = [], [], []
     for path, leaf in flat:
         key = jax.tree_util.keystr(path)
+        paths.append(key)
         if key in arrays:
             saved = arrays[key]
             if tuple(saved.shape) != tuple(leaf.shape):
@@ -164,8 +295,12 @@ def restore_params(template: Any, ckpt_dir: str) -> tuple[Any, dict]:
                     f"shape mismatch at {key}: ckpt {saved.shape} vs template {leaf.shape}"
                 )
             leaves.append(jnp.asarray(saved, leaf.dtype))
+            refs.append(saved if str(saved.dtype) == str(leaf.dtype) else None)
         else:
             leaves.append(leaf)
+            refs.append(None)
+    if verify:
+        leaves = _verify_uploaded_leaves(leaves, refs, paths)
     return jax.tree_util.tree_unflatten(treedef, leaves), state
 
 
@@ -180,11 +315,17 @@ def restore_opt_state(template: Any, ckpt_dir: str) -> Any:
     arrays = load_file(path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
+    refs = []
+    paths = []
     unmatched = []
     for p, leaf in flat:
         key = jax.tree_util.keystr(p)
+        paths.append(key)
         if key in arrays and tuple(arrays[key].shape) == tuple(leaf.shape):
             leaves.append(jnp.asarray(arrays[key], leaf.dtype))
+            refs.append(
+                arrays[key] if str(arrays[key].dtype) == str(leaf.dtype) else None
+            )
         else:
             # 0-d leaves are frozen-group placeholders / counters that may
             # legitimately be absent; a real moment failing to map means the
@@ -192,6 +333,8 @@ def restore_opt_state(template: Any, ckpt_dir: str) -> Any:
             if getattr(leaf, "ndim", 0) > 0:
                 unmatched.append(key)
             leaves.append(leaf)
+            refs.append(None)
+    leaves = _verify_uploaded_leaves(leaves, refs, paths)
     if unmatched:
         import warnings
 

@@ -185,3 +185,51 @@ class TestShardedResume:
         t2.update_step = t1.update_step
         m = t2.step(jnp.asarray(next(data)["input_ids"]))
         assert float(m["loss"]) > 0
+
+
+class TestTransferVerification:
+    """The verified-transfer path (``_flatten_with_paths``).
+
+    Round-3 flagship postmortem: on the tunneled TPU runtime, device_get of
+    a non-lane-aligned array (last dim not a 128-multiple — the mlp gate/up
+    kernels) returns a NON-CONTIGUOUS strided view over the padded transfer
+    buffer; safetensors serializes raw ctypes memory, so checkpoints came
+    out with padded garbage between rows (a step-10000 checkpoint evaluated
+    at loss 10.9 while the live model was at 1.3). Saves now force
+    C-contiguity and verify transferred bytes against on-device uint32
+    checksums; restores verify uploads the same way.
+    """
+
+    @pytest.mark.parametrize(
+        "dtype", [jnp.bfloat16, jnp.float32, jnp.int32, jnp.float16, jnp.int8, jnp.bool_]
+    )
+    def test_checksum_host_device_agree(self, dtype):
+        from sow_tpu.checkpoint import _u32_checksum_device, _u32_checksum_host
+
+        k = jax.random.PRNGKey(3)
+        for shape in [(7,), (33, 5), (), (1,)]:
+            if dtype == jnp.bool_:
+                x = jax.random.bernoulli(k, 0.5, shape)
+            elif jnp.issubdtype(dtype, jnp.integer):
+                x = jax.random.randint(k, shape, -100, 100).astype(dtype)
+            else:
+                x = jax.random.normal(k, shape).astype(dtype)
+            dev = int(jax.jit(_u32_checksum_device)(x))
+            host = _u32_checksum_host(np.asarray(jax.device_get(x)))
+            assert dev == host, (dtype, shape)
+
+    def test_save_after_donated_steps_matches_live_params(self, tmp_path):
+        tr = tiny_trainer()
+        data = iter(affine_stream(8, 16, get_config("llama_test").vocab_size, seed=0))
+        for _ in range(3):
+            tr.step(jnp.asarray(next(data)["input_ids"]))
+        live = jax.tree_util.tree_map(
+            lambda x: np.asarray(jax.device_get(x)), tr.params
+        )
+        d = save_checkpoint(str(tmp_path), 3, tr.params, tr.opt_state)
+        tr2 = tiny_trainer()
+        tr2.params, _ = restore_params(tr2.params, d)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(tr2.params), jax.tree_util.tree_leaves(live)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
