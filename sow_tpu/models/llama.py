@@ -765,7 +765,11 @@ def params_to_hf_state_dict(params: dict, cfg: LlamaConfig) -> dict:
     params = merge_sow_to_dense(params)
 
     def t(x):
-        return np.asarray(jax.device_get(x))
+        # C-contiguous: device_get can hand back strided views (tunneled
+        # runtime, non-lane-aligned shapes) and downstream consumers may
+        # serialize raw memory — see checkpoint._flatten_with_paths
+        a = np.asarray(jax.device_get(x))
+        return a if a.flags.c_contiguous else np.ascontiguousarray(a)
 
     sd: dict = {"model.embed_tokens.weight": t(params["embed"]["embedding"])}
     for i in range(cfg.num_hidden_layers):
