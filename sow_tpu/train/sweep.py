@@ -243,6 +243,99 @@ def run_sweep(
     return results
 
 
+def run_glue_sweep(
+    combos_or_strategy,
+    n_trials: int,
+    steps_per_run: int,
+    out_path: str = "sweep_results.jsonl",
+    model_name: str = "roberta-test",
+    task: str = "cola",
+    batch_size: int = 16,
+    max_length: int = 64,
+    seed: int = 0,
+) -> list[dict]:
+    """Sweep the GLUE finetune workload over the reference bayes-sweep's 4-D
+    box (lr / sow_lr / rank / accumulation — ``glue_sweep.py:7-16``), on the
+    offline synthetic-separable GLUE batches (``glue.main --synthetic-data``).
+
+    ``combos_or_strategy`` is either a list of combos (grid / random) or a
+    propose/observe strategy (``TPESearch``). Axis names match the pretrain
+    sweep (``sow_accumulation`` maps to ``GlueConfig.accumulation_steps``,
+    ``lr`` to ``learning_rate``)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sow_tpu.train.glue import (
+        GlueConfig,
+        build_llama_glue_trainer,
+        build_roberta_glue_trainer,
+    )
+
+    if model_name.startswith("llama"):
+        from sow_tpu.models import get_config
+
+        model_cfg = get_config(model_name)
+        build = build_llama_glue_trainer
+    else:
+        from sow_tpu.models import roberta as roberta_lib
+
+        model_cfg = roberta_lib.ROBERTA_CONFIGS[model_name]
+        build = build_roberta_glue_trainer
+
+    def batches(n, bseed):
+        rng = np.random.default_rng(bseed)
+        for _ in range(n):
+            ids = rng.integers(2, model_cfg.vocab_size, (batch_size, max_length))
+            yield {
+                "input_ids": jnp.asarray(ids),
+                "attention_mask": jnp.asarray(np.ones_like(ids)),
+                "labels": jnp.asarray(
+                    (ids[:, 0] < model_cfg.vocab_size // 2).astype(np.int64)
+                ),
+            }
+
+    def trial(i, combo):
+        cfg = GlueConfig(
+            task=task,
+            batch_size=batch_size,
+            max_length=max_length,
+            num_training_steps=steps_per_run,
+            seed=seed,
+            rank=int(combo.get("rank", 8)),
+            accumulation_steps=int(combo.get("sow_accumulation", 1000)),
+            learning_rate=float(combo.get("lr", 5e-5)),
+            sow_lr=float(combo.get("sow_lr", 1.2e-4)),
+        )
+        trainer = build(cfg, model_cfg)
+        t0 = time.perf_counter()
+        last = None
+        for b in batches(steps_per_run, cfg.seed):
+            last = trainer.step(b["input_ids"], b["attention_mask"], b["labels"])
+        record = {
+            "run": i,
+            "combo": combo,
+            "final_loss": float(last),
+            "steps": steps_per_run,
+            "seconds": round(time.perf_counter() - t0, 2),
+            "eval": {k: float(v) for k, v in trainer.evaluate(batches(4, cfg.seed + 1)).items()},
+        }
+        with open(out_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        return record
+
+    results = []
+    if hasattr(combos_or_strategy, "propose"):
+        for i in range(n_trials):
+            combo = combos_or_strategy.propose()
+            r = trial(i, combo)
+            combos_or_strategy.observe(combo, r["final_loss"])
+            results.append(r)
+    else:
+        for i, combo in enumerate(combos_or_strategy):
+            results.append(trial(i, combo))
+    return results
+
+
 def main(argv=None):
     """Sweep CLI — the in-process counterpart of the reference's GPU-pool
     fan-out (``launch_sweep.py:45-70``: product of ranks x accumulations x
@@ -278,6 +371,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic-data", action="store_true", default=False)
     p.add_argument("--out", type=str, default="sweep_results.jsonl")
+    p.add_argument("--workload", type=str, default="pretrain",
+                   choices=("pretrain", "glue"),
+                   help="glue = sweep the finetune workload (the reference's "
+                        "glue_sweep.py target) on offline synthetic batches")
+    p.add_argument("--glue-model", type=str, default="roberta-test")
+    p.add_argument("--task", type=str, default="cola")
     args = p.parse_args(argv)
 
     axes = dict(
@@ -293,6 +392,26 @@ def main(argv=None):
             (min(args.sow_lrs), max(args.sow_lrs))
             if len(args.sow_lrs) > 1 else args.sow_lrs
         )
+
+    if args.workload == "glue":
+        if args.tpe_trials > 0:
+            driver = TPESearch(axes, seed=args.seed)
+            n = args.tpe_trials
+        elif args.random_trials > 0:
+            driver = random_search(args.random_trials, seed=args.seed, **axes)
+            n = args.random_trials
+        else:
+            driver = grid(**axes)
+            n = len(driver)
+        results = run_glue_sweep(
+            driver, n, args.steps_per_run, args.out,
+            model_name=args.glue_model, task=args.task,
+            batch_size=args.batch_size, max_length=args.max_length,
+            seed=args.seed,
+        )
+        best = min(results, key=lambda r: r["final_loss"])
+        print(json.dumps({"runs": len(results), "best": best}))
+        return
 
     base = TrainConfig(
         model=args.model, architecture=args.architecture,

@@ -233,3 +233,18 @@ class TestTransferVerification:
             jax.tree_util.tree_leaves(tr2.params), jax.tree_util.tree_leaves(live)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_noncontiguous_leaves_serialize_correctly(self, tmp_path):
+        # the tunneled runtime hands back strided views for non-lane-aligned
+        # arrays; save must normalize to C-order before safetensors writes
+        # raw memory (the round-3 flagship corruption)
+        base = np.arange(64 * 96, dtype=np.float32).reshape(64, 96)
+        strided = base[:, :80]  # non-contiguous view
+        assert not strided.flags.c_contiguous
+        tree = {"w": strided, "s": np.float32(3.0)}
+        d = save_checkpoint(str(tmp_path), 1, tree)
+        from safetensors.numpy import load_file
+
+        disk = load_file(d + "/model.safetensors")
+        np.testing.assert_array_equal(disk["['w']"], np.asarray(strided))
+        assert disk["['s']"].shape == ()

@@ -125,6 +125,28 @@ class TestSweep:
             assert c["rank"] in (2, 4)
             s.observe(c, float(i))
 
+    @pytest.mark.slow
+    def test_run_glue_sweep_tpe(self, tmp_path):
+        """W8 full parity: the model-based (TPE) sweep drives the GLUE
+        finetune workload over the reference bayes box (glue_sweep.py:7-16),
+        offline on synthetic batches."""
+        import json as _json
+
+        from sow_tpu.train.sweep import TPESearch, run_glue_sweep
+
+        axes = dict(rank=[2, 4], sow_accumulation=[1000],
+                    lr=(1e-4, 1e-3), sow_lr=(1e-4, 1e-3))
+        out = str(tmp_path / "glue_sweep.jsonl")
+        results = run_glue_sweep(
+            TPESearch(axes, seed=0), n_trials=2, steps_per_run=4,
+            out_path=out, model_name="roberta-test", task="cola",
+            batch_size=8, max_length=32, seed=0,
+        )
+        assert len(results) == 2
+        lines = [_json.loads(l) for l in open(out)]
+        assert all("matthews_correlation" in l["eval"] for l in lines)
+        assert all(l["final_loss"] > 0 for l in lines)
+
     def test_run_adaptive_sweep(self, tmp_path):
         from sow_tpu.data.synthetic import affine_stream
         from sow_tpu.train.sweep import TPESearch, run_adaptive_sweep
