@@ -51,3 +51,12 @@ timeout 2400 python benchmarks/serve_bench.py --model llama_1b --pool 16 --reque
   --tiered > "$OUT/serve_tiered.json" 2> "$OUT/serve_tiered.log"
 echo "tiered exit: $?"
 echo "=== chip queue done ==="
+
+echo "=== [6/7] step anatomy (roofline attribution, 60m flagship shapes) ==="
+timeout 2400 python benchmarks/step_anatomy.py llama_60m 256 256 15 \
+  > "$OUT/step_anatomy.json" 2> "$OUT/step_anatomy.log"
+echo "anatomy exit: $?"
+
+echo "=== [7/7] orbax save/restore on-chip parity (transfer-integrity audit) ==="
+timeout 1200 python benchmarks/orbax_chip_check.py > "$OUT/orbax_check.json" 2>&1
+echo "orbax exit: $?"
