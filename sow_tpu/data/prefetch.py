@@ -38,22 +38,54 @@ class Prefetcher:
         iterator: Iterator[Any],
         depth: int = 2,
         shardings: Optional[Any] = None,
+        verify_transfers: bool = False,
     ):
         self._src = iterator
         self._shardings = shardings
+        self._verify = verify_transfers
+        self._pending_check: list = []  # (key, host_sum, device_sum_future)
+        self.transfer_errors = 0
         self._q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    def _audit(self, key: str, host: np.ndarray, dev) -> None:
+        """Transfer-integrity telemetry (opt-in): enqueue a device-side
+        checksum of the uploaded batch and compare LAZILY against the host
+        bytes — the comparison of batch N settles while batch N+1 uploads,
+        so the training pipeline is never synced. Motivated by the round-3
+        checkpoint postmortem (the tunneled runtime corrupting one transfer
+        direction is not hypothetical); a mismatch here means the model
+        TRAINED ON corrupted tokens — warn loudly and count it."""
+        from sow_tpu.checkpoint import _checksum_single, _u32_checksum_host
+
+        self._pending_check.append(
+            (key, _u32_checksum_host(host), _checksum_single(dev))
+        )
+        if len(self._pending_check) > 8:  # settle the oldest (long since done)
+            k, want, fut = self._pending_check.pop(0)
+            if int(fut) != want:
+                import warnings
+
+                self.transfer_errors += 1
+                warnings.warn(
+                    f"prefetch transfer corruption detected on '{k}': device "
+                    f"bytes disagree with host bytes (count={self.transfer_errors})",
+                    stacklevel=2,
+                )
+
     def _transfer(self, batch):
         if self._shardings is None:
             return batch
         if isinstance(batch, dict) and not isinstance(self._shardings, dict):
-            return {
-                k: jax.device_put(np.asarray(v), self._shardings)
-                for k, v in batch.items()
-            }
+            out = {}
+            for k, v in batch.items():
+                host = np.asarray(v)
+                out[k] = jax.device_put(host, self._shardings)
+                if self._verify:
+                    self._audit(k, host, out[k])
+            return out
         return jax.device_put(batch, self._shardings)
 
     def _put(self, item) -> bool:

@@ -59,6 +59,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="batches prefetched + device_put on a background "
                         "thread (0 disables); overlaps host data work with "
                         "device steps")
+    p.add_argument("--verify-transfers", action="store_true", default=False,
+                   help="transfer-integrity telemetry: lazily checksum every "
+                        "uploaded batch against host bytes (no pipeline sync; "
+                        "see the checkpoint-corruption postmortem)")
     p.add_argument("--auto-restart", type=int, default=0,
                    help="on crash, resume from the latest checkpoint up to N times "
                         "(simple fault tolerance; the reference has none — "
@@ -153,7 +157,8 @@ def _run(args):
         from sow_tpu.parallel.mesh import token_sharding
 
         sharding = None if use_pp else token_sharding(trainer.mesh)
-        data = Prefetcher(data, depth=args.prefetch, shardings=sharding)
+        data = Prefetcher(data, depth=args.prefetch, shardings=sharding,
+                          verify_transfers=args.verify_transfers)
 
     from sow_tpu.utils.logging import MetricsLogger, device_memory_stats, profile_trace
 
