@@ -23,6 +23,7 @@ COMMON="--model llama_60m --batch-size 256 --max-length 256
   --num-training-steps 25000 --weight-decay 0.0
   --scheduler cosine --min-lr-ratio 0.03
   --data-dir $ROOTS --tokenizer-path $TOK
+  --token-cache-dir artifacts/tokcache
   --eval-every 2000 --eval-tokens 5000000 --logging-steps 200
   --save-every 1000 --auto-restart 3"
 

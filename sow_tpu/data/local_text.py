@@ -129,6 +129,82 @@ def load_local_tokenizer(path: str):
     )
 
 
+def ensure_token_cache(
+    tokenizer,
+    roots: Sequence[str],
+    split: str,
+    cache_dir: str,
+    val_percent: int = 2,
+    group: int = 64,
+) -> tuple[str, str]:
+    """Tokenize the whole split ONCE into a memmappable cache.
+
+    The chip host has a single CPU; live BPE encoding caps the flagship
+    training stream at ~90-100k tokens/s overall (the chip idles ~2/3 of
+    each step waiting on the tokenizer — measured on the 25k-step run,
+    PARITY.md "Flagship run"). Tokenizing the ~550 MB corpus once
+    (~minutes) and streaming windows from a uint16 memmap makes training
+    chip-bound. The reference has no equivalent because its C4 pipeline
+    runs 8 tokenizer worker processes per rank (``simple_train.py:311``);
+    on a 1-CPU host the cache is the TPU-first answer.
+
+    Layout: ``{split}_ids.npy`` — all document ids concatenated (uint16
+    when the vocab fits, else int32); ``{split}_offsets.npy`` — int64
+    prefix offsets, one per document + terminal. Document order matches
+    ``corpus_files`` order, so epoch shuffling reproduces the live path's
+    distribution. A meta sidecar invalidates the cache when the file list
+    changes.
+    """
+    import json as _json
+
+    files = corpus_files(roots, split=split, val_percent=val_percent)
+    if not files:
+        raise FileNotFoundError(f"no corpus files under {roots}")
+    os.makedirs(cache_dir, exist_ok=True)
+    ids_path = os.path.join(cache_dir, f"{split}_ids.npy")
+    off_path = os.path.join(cache_dir, f"{split}_offsets.npy")
+    meta_path = os.path.join(cache_dir, f"{split}_meta.json")
+    listing = hashlib.md5("\n".join(files).encode()).hexdigest()
+    vocab = int(getattr(tokenizer, "vocab_size", 0) or 0)
+    dtype = "uint16" if 0 < vocab <= 65_536 else "int32"
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            if (
+                meta.get("listing") == listing
+                and meta.get("dtype") == dtype
+                and os.path.exists(ids_path)
+                and os.path.exists(off_path)
+            ):
+                return ids_path, off_path
+        except (OSError, ValueError):
+            pass
+
+    chunks: list[np.ndarray] = []
+    offsets = [0]
+    total = 0
+    for start in range(0, len(files), group):
+        texts = []
+        for path in files[start : start + group]:
+            try:
+                with open(path, "r", encoding="utf-8", errors="ignore") as f:
+                    texts.append(f.read())
+            except OSError:
+                texts.append("")
+        for ids in tokenizer(texts, return_tensors=None)["input_ids"]:
+            arr = np.asarray(ids, dtype)
+            chunks.append(arr)
+            total += len(arr)
+            offsets.append(total)
+    np.save(ids_path, np.concatenate(chunks) if chunks else np.zeros(0, dtype))
+    np.save(off_path, np.asarray(offsets, np.int64))
+    with open(meta_path, "w") as f:
+        _json.dump({"listing": listing, "dtype": dtype, "files": len(files),
+                    "tokens": total}, f)
+    return ids_path, off_path
+
+
 def local_text_batches(
     tokenizer,
     roots: Sequence[str],
@@ -145,6 +221,7 @@ def local_text_batches(
     shuffle_buffer: int = 32_768,
     repeat: Optional[bool] = None,
     val_percent: int = 2,
+    cache_dir: Optional[str] = None,
 ) -> Iterator[dict]:
     """Yield ``{"input_ids", "attention_mask"}`` numpy batches from local
     files — the offline counterpart of ``c4.c4_batches``.
@@ -154,6 +231,12 @@ def local_text_batches(
     truncate-at-max_length semantics (``dataloader.py:25-35``). Windows go
     through a size-``shuffle_buffer`` reservoir like the reference's
     streaming ``.shuffle`` (``simple_train.py:289``).
+
+    ``cache_dir`` switches the document source from live BPE encoding to a
+    pre-tokenized memmap (built on first use — ``ensure_token_cache``);
+    document order, epoch shuffling, windowing and the reservoir are
+    identical, so the stream has the same distribution, just unthrottled
+    by the host CPU.
     """
     files = corpus_files(roots, split=split, val_percent=val_percent)
     if not files:
@@ -163,22 +246,44 @@ def local_text_batches(
     rng = random.Random(seed + 1)
     pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
 
-    def windows() -> Iterator[np.ndarray]:
-        # encode documents in groups: the fast-tokenizer backend parallelizes
-        # across a batch (rayon), and single-doc encodes were the measured
-        # training bottleneck (~35% step-time stall at llama-60m bs-256)
-        def encoded():
-            group: list[str] = []
-            for doc in iter_documents(files, seed=seed, repeat=repeat):
-                group.append(doc)
-                if len(group) == 16:
+    def doc_ids() -> Iterator[np.ndarray]:
+        if cache_dir is not None:
+            ids_path, off_path = ensure_token_cache(
+                tokenizer, roots, split, cache_dir, val_percent=val_percent
+            )
+            all_ids = np.load(ids_path, mmap_mode="r")
+            offsets = np.load(off_path)
+            order = list(range(len(offsets) - 1))
+            # random.Random(seed).shuffle over indices reproduces
+            # iter_documents' per-epoch path-list permutation exactly
+            order_rng = random.Random(seed)
+            while True:
+                order_rng.shuffle(order)
+                for i in order:
+                    yield np.asarray(all_ids[offsets[i] : offsets[i + 1]])
+                if not repeat:
+                    return
+        else:
+            # encode documents in groups: the fast-tokenizer backend
+            # parallelizes across a batch (rayon), and single-doc encodes
+            # were the measured training bottleneck (~35% step-time stall
+            # at llama-60m bs-256)
+            def encoded():
+                group: list[str] = []
+                for doc in iter_documents(files, seed=seed, repeat=repeat):
+                    group.append(doc)
+                    if len(group) == 16:
+                        yield from tokenizer(group, return_tensors=None)["input_ids"]
+                        group.clear()
+                if group:
                     yield from tokenizer(group, return_tensors=None)["input_ids"]
-                    group.clear()
-            if group:
-                yield from tokenizer(group, return_tensors=None)["input_ids"]
 
-        for ids in encoded():
-            if not ids:
+            for ids in encoded():
+                yield np.asarray(ids, np.int32)
+
+    def windows() -> Iterator[np.ndarray]:
+        for ids in doc_ids():
+            if len(ids) == 0:
                 continue
             if chunk:
                 for s in range(0, len(ids), max_length):

@@ -46,6 +46,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--tokenizer-path", type=str, default=None,
                    help="tokenizers-JSON path for --data-dir (trained "
                         "offline via local_text.train_bpe_tokenizer)")
+    p.add_argument("--token-cache-dir", type=str, default=None,
+                   help="pre-tokenized memmap cache dir for --data-dir "
+                        "(built on first use; removes the 1-CPU live-BPE "
+                        "throughput cap — local_text.ensure_token_cache)")
     p.add_argument("--continue-from", type=str, default=None)
     p.add_argument("--metrics-path", type=str, default=None, help="JSONL metrics sink")
     p.add_argument("--wandb-project", type=str, default=None)
@@ -145,6 +149,7 @@ def _run(args):
                 args.data_dir.split(","),
                 split=split, batch_size=batch_size,
                 max_length=cfg.max_length, seed=seed,
+                cache_dir=args.token_cache_dir,
             )
         return make_pretrain_stream(
             batch_size, cfg.max_length, trainer.model_cfg.vocab_size,

@@ -99,6 +99,51 @@ class TestBatches:
             next(local_text_batches(StubTok(), [str(tmp_path)]))
 
 
+class TestTokenCache:
+    def test_cache_stream_identical_to_live(self, corpus, tmp_path):
+        """The memmap token cache must reproduce the live-encoding stream
+        exactly (same doc order, windows, reservoir draws) — it only
+        removes the per-epoch BPE cost, not the distribution."""
+        kw = dict(batch_size=4, max_length=32, shuffle_buffer=8, seed=3,
+                  val_percent=0)
+        cache = str(tmp_path / "tokcache")
+        live = local_text_batches(StubTok(), [corpus], **kw)
+        cached = local_text_batches(StubTok(), [corpus], cache_dir=cache, **kw)
+        for _ in range(6):
+            a, b = next(live), next(cached)
+            assert (a["input_ids"] == b["input_ids"]).all()
+            assert (a["attention_mask"] == b["attention_mask"]).all()
+
+    def test_cache_built_once_and_invalidated(self, corpus, tmp_path):
+        import os
+
+        from sow_tpu.data.local_text import ensure_token_cache
+
+        cache = str(tmp_path / "tokcache")
+        ids1, off1 = ensure_token_cache(StubTok(), [corpus], "train", cache,
+                                        val_percent=0)
+        mtime = os.path.getmtime(ids1)
+        ids2, _ = ensure_token_cache(StubTok(), [corpus], "train", cache,
+                                     val_percent=0)
+        assert ids2 == ids1 and os.path.getmtime(ids1) == mtime  # reused
+        # corpus change -> listing hash changes -> rebuilt
+        with open(os.path.join(corpus, "docnew.txt"), "w") as f:
+            f.write("brand new doc " * 64)
+        ensure_token_cache(StubTok(), [corpus], "train", cache, val_percent=0)
+        import numpy as np
+
+        offs = np.load(os.path.join(cache, "train_offsets.npy"))
+        assert len(offs) == 32  # 31 docs + terminal
+
+    def test_validation_cache_stream_terminates(self, corpus, tmp_path):
+        it = local_text_batches(
+            StubTok(), [corpus], split="validation", batch_size=2,
+            max_length=32, shuffle_buffer=4, seed=0, val_percent=40,
+            cache_dir=str(tmp_path / "tc"),
+        )
+        assert list(it)
+
+
 class TestTrainedTokenizer:
     def test_bpe_artifact_roundtrip(self):
         """The committed flagship tokenizer (artifacts/bpe32k.json) loads
