@@ -117,6 +117,13 @@ def token_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(("data", "fsdp"), "seq"))
 
 
+def stacked_token_sharding(mesh: Mesh) -> NamedSharding:
+    """(k, batch, seq) stacks of token batches for multi-step dispatch
+    (``Trainer.step_many``): the leading dispatch axis is unsharded, the
+    trailing two shard like ``token_sharding``."""
+    return NamedSharding(mesh, P(None, ("data", "fsdp"), "seq"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

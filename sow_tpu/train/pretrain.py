@@ -19,6 +19,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sow_tpu.checkpoint import latest_checkpoint, restore_opt_state, restore_params, save_checkpoint
 from sow_tpu.data.c4 import make_pretrain_stream
@@ -59,6 +60,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="dump a pprof device-memory profile at update 10 "
                         "(the --monitor_memory CUDA-snapshot analogue, ref "
                         "simple_train.py:590-591)")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="K update steps per jitted dispatch (lax.scan over "
+                        "K stacked batches; Trainer.step_many). Amortizes "
+                        "per-program host/tunnel overhead; K must divide "
+                        "every logging/save/eval/accumulation cadence")
     p.add_argument("--prefetch", type=int, default=2,
                    help="batches prefetched + device_put on a background "
                         "thread (0 disables); overlaps host data work with "
@@ -157,11 +163,47 @@ def _run(args):
         )
 
     data = stream("train", cfg.batch_size * cfg.gradient_accumulation, cfg.seed)
+    K = args.steps_per_dispatch
+    if K > 1:
+        # multi-step dispatch (Trainer.step_many): chunk boundaries must
+        # land exactly on every logging/save/eval/accumulation step, so K
+        # must divide all of their cadences (and the step budget)
+        cadences = {"logging-steps": args.logging_steps}
+        if args.save_dir:
+            cadences["save-every"] = args.save_every
+        if args.eval_every:
+            cadences["eval-every"] = args.eval_every
+        if cfg.architecture == "sow" and cfg.sow_accumulation > 0:
+            cadences["sow-accumulation"] = cfg.sow_accumulation
+        cadences["num-training-steps"] = cfg.num_training_steps
+        for name, val in cadences.items():
+            if val % K:
+                raise ValueError(
+                    f"--steps-per-dispatch {K} must divide --{name} ({val})"
+                )
+        if use_pp:
+            raise ValueError("--steps-per-dispatch > 1 is not supported with "
+                             "pipeline parallelism")
+
+        def chunked(it, k):
+            while True:
+                bs = [next(it) for _ in range(k)]
+                yield {
+                    "input_ids": np.stack([b["input_ids"] for b in bs]),
+                    "attention_mask": np.stack([b["attention_mask"] for b in bs]),
+                }
+
+        data = chunked(data, K)
+
     if args.prefetch > 0:
         from sow_tpu.data.prefetch import Prefetcher
-        from sow_tpu.parallel.mesh import token_sharding
+        from sow_tpu.parallel.mesh import stacked_token_sharding, token_sharding
 
-        sharding = None if use_pp else token_sharding(trainer.mesh)
+        if use_pp:
+            sharding = None
+        else:
+            sharding = (stacked_token_sharding(trainer.mesh) if K > 1
+                        else token_sharding(trainer.mesh))
         data = Prefetcher(data, depth=args.prefetch, shardings=sharding,
                           verify_transfers=args.verify_transfers)
 
@@ -170,23 +212,27 @@ def _run(args):
     logger = MetricsLogger(args.metrics_path, args.wandb_project, dataclasses.asdict(cfg))
     t_log = time.perf_counter()
     tokens_at_log = trainer.tokens_seen
-    for _ in range(start_step, cfg.num_training_steps):
+    profiling = False
+    for _ in range(start_step, cfg.num_training_steps, K):
         batch = next(data)
         step_next = trainer.update_step + 1
-        if args.profile_dir and step_next == 10:
+        if args.profile_dir and step_next <= 10 < step_next + K and not profiling:
             import jax.profiler as _prof
 
             os.makedirs(args.profile_dir, exist_ok=True)
             _prof.start_trace(args.profile_dir)
-        metrics = trainer.step(
+            profiling = True
+        step_fn = trainer.step_many if K > 1 else trainer.step
+        metrics = step_fn(
             jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"])
         )
         step = trainer.update_step
-        if args.profile_dir and step == 15:
+        if args.profile_dir and profiling and step >= 15:
             import jax.profiler as _prof
 
             _prof.stop_trace()
-        if step == 10:
+            profiling = False
+        if step_next <= 10 <= step:
             # optimizer-HBM probe at update 10 (ref simple_train.py:634-641)
             logger.log(step, **{"memory": device_memory_stats()})
             if args.memory_profile:

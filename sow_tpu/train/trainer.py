@@ -28,6 +28,7 @@ from sow_tpu.parallel.mesh import (
     make_mesh,
     opt_state_shardings,
     params_shardings,
+    stacked_token_sharding,
     token_sharding,
     replicated,
 )
@@ -187,9 +188,9 @@ class Trainer:
     def _ones_mask(self, shape) -> jax.Array:
         key = tuple(shape)
         if key not in self._mask_cache:
-            self._mask_cache[key] = jax.device_put(
-                jnp.ones(shape, jnp.int32), token_sharding(self.mesh)
-            )
+            sh = (stacked_token_sharding(self.mesh) if len(key) == 3
+                  else token_sharding(self.mesh))
+            self._mask_cache[key] = jax.device_put(jnp.ones(shape, jnp.int32), sh)
         return self._mask_cache[key]
 
     # -- sharding helpers --------------------------------------------------
@@ -361,7 +362,9 @@ class Trainer:
             return fused_causal_lm_loss(logits, labels)
         return llama_lib.causal_lm_loss(logits, labels)
 
-    def _make_train_step(self):
+    def _train_step_body(self):
+        """The raw (unjitted) update-step function, shared by the
+        single-step jit and the multi-step ``lax.scan`` dispatch."""
         cfg = self.cfg
         opt = self.opt
 
@@ -401,14 +404,58 @@ class Trainer:
             ntok = attention_mask.sum()
             return params, opt_state, {"loss": loss, "grad_norm": gnorm, "ntok": ntok}
 
+        return train_step
+
+    def _make_train_step(self):
         p_sh = params_shardings(self.mesh, self.params)
         o_sh = self._opt_shardings(self.params)
         b_sh = token_sharding(self.mesh)
         rep = replicated(self.mesh)
         return jax.jit(
-            train_step,
+            self._train_step_body(),
             in_shardings=(p_sh, o_sh, b_sh, b_sh),
             out_shardings=(p_sh, o_sh, {"loss": rep, "grad_norm": rep, "ntok": rep}),
+            donate_argnums=(0, 1),
+        )
+
+    def _make_train_many(self):
+        """K chained update steps in ONE jitted program (``lax.scan`` over
+        stacked batches). On a dispatch-latency-bound runtime (the tunneled
+        chip: ~half of each 60m step is host/program-launch overhead —
+        measured 253k tokens/s solo vs 253k+263k for two concurrent
+        streams) this amortizes the per-program cost over K updates.
+        Metrics are the LAST step's loss/grad_norm (matching what a
+        sequential loop would log at the chunk boundary) plus summed ntok
+        and the chunk-mean loss."""
+        body = self._train_step_body()
+
+        def train_many(params, opt_state, ids_k, mask_k):
+            def scan_body(carry, xs):
+                p, o = carry
+                p, o, m = body(p, o, xs[0], xs[1])
+                return (p, o), m
+
+            (params, opt_state), ms = jax.lax.scan(
+                scan_body, (params, opt_state), (ids_k, mask_k)
+            )
+            metrics = {
+                "loss": ms["loss"][-1],
+                "grad_norm": ms["grad_norm"][-1],
+                "ntok": ms["ntok"].sum(),
+                "loss_mean": ms["loss"].mean(),
+            }
+            return params, opt_state, metrics
+
+        p_sh = params_shardings(self.mesh, self.params)
+        o_sh = self._opt_shardings(self.params)
+        bk_sh = stacked_token_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        return jax.jit(
+            train_many,
+            in_shardings=(p_sh, o_sh, bk_sh, bk_sh),
+            out_shardings=(p_sh, o_sh,
+                           {"loss": rep, "grad_norm": rep, "ntok": rep,
+                            "loss_mean": rep}),
             donate_argnums=(0, 1),
         )
 
@@ -416,6 +463,12 @@ class Trainer:
         key = jax.tree_util.tree_structure(self.params)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._make_train_step()
+        return self._jit_cache[key]
+
+    def _train_many_fn(self):
+        key = ("many", jax.tree_util.tree_structure(self.params))
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._make_train_many()
         return self._jit_cache[key]
 
     def step(self, input_ids: jax.Array, attention_mask: Optional[jax.Array] = None):
@@ -435,6 +488,47 @@ class Trainer:
                 self.params, self.opt_state, input_ids, attention_mask
             )
         self.update_step += 1
+        self._tokens_dev = (
+            metrics["ntok"] if self._tokens_dev is None else self._tokens_dev + metrics["ntok"]
+        )
+        if (
+            self._has_sow()
+            and self.cfg.architecture == "sow"
+            and self.cfg.sow_accumulation > 0
+            and self.update_step % self.cfg.sow_accumulation == 0
+            and self.update_step < self.cfg.num_training_steps
+        ):
+            self.run_accumulation()
+        return metrics
+
+    def step_many(self, input_ids: jax.Array, attention_mask: Optional[jax.Array] = None):
+        """K update steps in one dispatch (inputs shaped ``(k, batch, seq)``).
+
+        The caller must align chunk boundaries so no SoW accumulation event
+        falls strictly INSIDE the chunk (asserted here): the accumulation's
+        QR fold + moment reset is a host-driven path that must run between
+        dispatches. An event landing exactly at the chunk end is handled.
+        """
+        if attention_mask is None:
+            attention_mask = self._ones_mask(input_ids.shape)
+        k = int(input_ids.shape[0])
+        if (
+            self._has_sow()
+            and self.cfg.architecture == "sow"
+            and self.cfg.sow_accumulation > 0
+        ):
+            nxt = (self.update_step // self.cfg.sow_accumulation + 1) * self.cfg.sow_accumulation
+            assert nxt >= self.update_step + k, (
+                f"step_many chunk of {k} would cross the SoW accumulation "
+                f"boundary at step {nxt}; shrink steps-per-dispatch so it "
+                f"divides sow_accumulation"
+            )
+        fn = self._train_many_fn()
+        with jax.set_mesh(self.mesh):
+            self.params, self.opt_state, metrics = fn(
+                self.params, self.opt_state, input_ids, attention_mask
+            )
+        self.update_step += k
         self._tokens_dev = (
             metrics["ntok"] if self._tokens_dev is None else self._tokens_dev + metrics["ntok"]
         )

@@ -58,6 +58,40 @@ class TestEndToEnd:
             assert layer.acc_down is not None  # bases materialized
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
+    def test_step_many_matches_sequential_steps(self):
+        """K steps in one dispatch (Trainer.step_many, the multi-step
+        program that amortizes per-dispatch overhead on the tunneled chip)
+        must produce the same params/opt trajectory as K sequential
+        step() calls — including across a SoW accumulation boundary when
+        chunks are aligned to it."""
+        a, b = make_trainer(), make_trainer()
+        data = affine_stream(8, 16, a.model_cfg.vocab_size, seed=0)
+        batches = [next(data) for _ in range(10)]
+
+        for bt in batches:
+            a.step(jnp.asarray(bt["input_ids"]))
+        # b: two chunks of 5 — the second ends exactly on the step-10
+        # accumulation boundary (sow_accumulation=10), which must then run
+        for lo in (0, 5):
+            ids = jnp.stack([jnp.asarray(bt["input_ids"]) for bt in batches[lo:lo + 5]])
+            m = b.step_many(ids)
+        assert b.update_step == a.update_step == 10
+        ap = jax.tree_util.tree_leaves(a.params)
+        bp = jax.tree_util.tree_leaves(b.params)
+        for x, y in zip(ap, bp):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-5, atol=2e-6)
+        assert np.isfinite(float(m["loss"])) and float(m["ntok"]) == 5 * 8 * 16
+
+    def test_step_many_refuses_unaligned_accumulation_chunk(self):
+        tr = make_trainer()  # sow_accumulation=10
+        data = affine_stream(8, 16, tr.model_cfg.vocab_size, seed=0)
+        ids = jnp.stack(
+            [jnp.asarray(next(data)["input_ids"]) for _ in range(7)]
+        )  # chunk of 7 from step 5 would cross step 10
+        tr.update_step = 5
+        with pytest.raises(AssertionError):
+            tr.step_many(ids)
+
     def test_dense_training(self):
         trainer = make_trainer(architecture="linear")
         data = affine_stream(8, 16, trainer.model_cfg.vocab_size, seed=1)
