@@ -65,6 +65,28 @@ def bench_arch(architecture: str, steps: int = 20, warmup: int = 3) -> dict:
     times.sort()
     dt = times[len(times) // 2] * steps  # median extrapolated
 
+    # Multi-step dispatch (Trainer.step_many): K chained updates per jitted
+    # program. Per-dispatch host/tunnel overhead is ~half the wall time of a
+    # single 60m step on the tunneled chip (measured: one stream 253k
+    # tokens/s, two concurrent streams 253k+263k), so amortizing it over K
+    # steps is the hardware-honest throughput number — the same program a
+    # production train loop dispatches (--steps-per-dispatch).
+    K = int(os.environ.get("BENCH_STEPS_PER_DISPATCH", "8"))
+    ids_k = jnp.broadcast_to(ids, (K, *ids.shape))
+    mask_k = jnp.broadcast_to(mask, (K, *mask.shape))
+    for _ in range(2):
+        m = trainer.step_many(ids_k, mask_k)
+    float(m["loss"])
+    times_k = []
+    n_dispatch = max(steps // K, 3)
+    for _ in range(n_dispatch):
+        t0 = time.perf_counter()
+        m = trainer.step_many(ids_k, mask_k)
+        float(m["loss"])  # hard sync
+        times_k.append(time.perf_counter() - t0)
+    times_k.sort()
+    dt_many = times_k[len(times_k) // 2] / K  # per-step
+
     tokens = steps * cfg.batch_size * cfg.max_length
     # trainable / optimizer HBM accounting (ref memory_utils.py:13-27)
     from sow_tpu.utils.memory import optimizer_memory_usage
@@ -76,11 +98,16 @@ def bench_arch(architecture: str, steps: int = 20, warmup: int = 3) -> dict:
     flops, hbm_bytes = compiled_step_cost(
         trainer._train_step_fn(), trainer.params, trainer.opt_state, ids, mask
     )
+    step_tokens = cfg.batch_size * cfg.max_length
     return {
-        "tokens_per_sec": tokens / dt,
-        "step_ms": dt / steps * 1e3,
+        "tokens_per_sec": step_tokens / dt_many,
+        "step_ms": dt_many * 1e3,
+        "steps_per_dispatch": K,
+        "tokens_per_sec_single_dispatch": tokens / dt,
+        "step_ms_single_dispatch": dt / steps * 1e3,
         "optimizer_bytes": int(opt_bytes),
-        "roofline": utilization(flops, hbm_bytes, dt / steps),
+        "roofline": utilization(flops, hbm_bytes, dt_many),
+        "roofline_single_dispatch": utilization(flops, hbm_bytes, dt / steps),
         "device": str(jax.devices()[0]),
     }
 
@@ -152,6 +179,13 @@ def main():
             "dense_tokens_per_sec": round(dense["tokens_per_sec"], 1),
             "sow_step_ms": round(sow["step_ms"], 2),
             "dense_step_ms": round(dense["step_ms"], 2),
+            "steps_per_dispatch": sow["steps_per_dispatch"],
+            "sow_tokens_per_sec_single_dispatch": round(
+                sow["tokens_per_sec_single_dispatch"], 1
+            ),
+            "dense_tokens_per_sec_single_dispatch": round(
+                dense["tokens_per_sec_single_dispatch"], 1
+            ),
             "sow_optimizer_bytes": sow["optimizer_bytes"],
             "dense_optimizer_bytes": dense["optimizer_bytes"],
             "optimizer_mem_ratio": round(sow["optimizer_bytes"] / dense["optimizer_bytes"], 4),
