@@ -31,6 +31,7 @@ bash benchmarks/watchdog_run.sh "$OUT/draft9m.jsonl" 600 5 "$OUT/draft9m_ckpt" -
   --scheduler cosine --min-lr-ratio 0.03 \
   --data-dir "$ROOTS" --tokenizer-path "$TOK" \
   --token-cache-dir artifacts/tokcache \
+  --steps-per-dispatch 8 \
   --eval-every 0 --logging-steps 200 --save-every 1000 \
   --save-dir "$OUT/draft9m_ckpt" --metrics-path "$OUT/draft9m.jsonl" \
   > "$OUT/draft9m.log" 2>&1
