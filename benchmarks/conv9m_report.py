@@ -1,0 +1,80 @@
+"""Summarize the llama-9m convergence-deficit ablations (convergence_9m.sh).
+
+Reads artifacts/conv9m/*.jsonl and prints a markdown table of final train
+losses (mean of the last 3 logged steps, to damp batch noise) for the
+headline seeded dense/SoW pairs and each single-knob ablation, plus the
+seeded gap with a rough sigma from the replica spread.
+
+The round-2 finding to diagnose (PARITY.md "Convergence parity"): SoW
+0.2278 vs dense 0.1940 at 800 steps (r=32, acc=200), hypothesized as
+"late-stage capacity between accumulations". Ablation knobs:
+  keep   — carry SoW Adam moments across accumulation events
+  scale  — scale -> 1/rank after the first accumulation (run_glue.py:993-1002)
+  acc100/acc400 — accumulation cadence
+  r64    — rank
+
+Usage: python benchmarks/conv9m_report.py [dir]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import statistics
+import sys
+
+
+def tail_losses(path: str, k: int = 3) -> list[float]:
+    vals = []
+    try:
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if "loss" in rec and "eval_loss" not in rec:
+                    vals.append(rec["loss"])
+    except FileNotFoundError:
+        return []
+    return vals[-k:]
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "artifacts/conv9m"
+    runs = {}
+    for path in sorted(glob.glob(os.path.join(out, "*.jsonl"))):
+        name = os.path.basename(path)[:-6]
+        tl = tail_losses(path)
+        if tl:
+            runs[name] = sum(tl) / len(tl)
+    if not runs:
+        print(f"no metrics under {out}")
+        return
+
+    def seeded(prefix):
+        vals = [v for k, v in runs.items()
+                if k == prefix or k.startswith(prefix + "_s")]
+        return vals
+
+    dense, sow = seeded("dense"), seeded("sow")
+    print("| run | final loss (last-3 mean) |")
+    print("|---|---|")
+    for name in sorted(runs):
+        print(f"| {name} | {runs[name]:.4f} |")
+    if dense and sow:
+        md, ms = statistics.mean(dense), statistics.mean(sow)
+        sd = statistics.pstdev(dense + sow) or 1e-9
+        print()
+        print(f"seeded dense {md:.4f} (n={len(dense)}) vs sow {ms:.4f} "
+              f"(n={len(sow)}); gap {ms - md:+.4f} (~{(ms - md) / sd:.1f} "
+              f"pooled-sigma)")
+        base = runs.get("sow")
+        if base is not None:
+            print()
+            print("ablation deltas vs the headline sow run (negative = closes the gap):")
+            for name in ("keep", "scale", "acc100", "acc400", "r64"):
+                if name in runs:
+                    print(f"  {name:8s} {runs[name] - base:+.4f} -> {runs[name]:.4f}")
+
+
+if __name__ == "__main__":
+    main()
