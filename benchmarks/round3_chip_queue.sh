@@ -59,6 +59,14 @@ timeout 2400 python benchmarks/step_anatomy.py llama_60m 256 256 15 \
   > "$OUT/step_anatomy.json" 2> "$OUT/step_anatomy.log"
 echo "anatomy exit: $?"
 
-echo "=== [7/7] orbax save/restore on-chip parity (transfer-integrity audit) ==="
+echo "=== [7/8] orbax save/restore on-chip parity (transfer-integrity audit) ==="
 timeout 1200 python benchmarks/orbax_chip_check.py > "$OUT/orbax_check.json" 2>&1
 echo "orbax exit: $?"
+
+echo "=== [8/8] TPE GLUE sweep end-to-end on chip (ref glue_sweep.py bayes box) ==="
+timeout 2400 python -m sow_tpu.train.sweep --workload glue --tpe-trials 12 \
+  --glue-model roberta-test --task cola --steps-per-run 60 \
+  --ranks 4 8 16 --accumulations 20 40 --lrs 1e-5 1e-3 --sow-lrs 1e-5 1e-2 \
+  --out "$OUT/glue_tpe_sweep.jsonl" > "$OUT/glue_tpe_sweep.log" 2>&1
+echo "tpe sweep exit: $?"
+tail -1 "$OUT/glue_tpe_sweep.log"
