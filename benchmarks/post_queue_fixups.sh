@@ -16,4 +16,6 @@ if [ $rc -ne 0 ]; then
   timeout 2400 python benchmarks/mfu_1b.py 16 4 10 > artifacts/mfu_1b.json 2>> artifacts/mfu_1b.log
 fi
 echo "mfu exit: $?"
+timeout 2400 python benchmarks/spec_breakeven.py 1 > artifacts/spec_breakeven.json 2> artifacts/spec_breakeven.log
+echo "breakeven exit: $?"
 echo "[fixups] done ($(date -u +%H:%M:%S))"
