@@ -18,4 +18,10 @@ fi
 echo "mfu exit: $?"
 timeout 2400 python benchmarks/spec_breakeven.py 1 > artifacts/spec_breakeven.json 2> artifacts/spec_breakeven.log
 echo "breakeven exit: $?"
+# step_anatomy at bs 256 OOMs (the no-remat fwd+bwd variant needs 15.9 of
+# 15.75 GB); bs 128 keeps every variant resident — attribution ratios are
+# what matter here, not absolute bytes
+timeout 2400 python benchmarks/step_anatomy.py llama_60m 128 256 15 \
+  > artifacts/step_anatomy.json 2> artifacts/step_anatomy.log
+echo "anatomy exit: $?"
 echo "[fixups] done ($(date -u +%H:%M:%S))"
