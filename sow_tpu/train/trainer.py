@@ -66,6 +66,15 @@ class TrainConfig:
     # (0 = keep sow_scale). The finetune workloads' scale -> 1/rank move
     # (run_glue.py:993-1002) as a pretraining ablation.
     sow_scale_after_first: float = 0.0
+    # Skip SoW accumulation events past this fraction of num_training_steps
+    # (1.0 = reference behavior: accumulate at every sow_accumulation
+    # multiple before the final step). Motivation is measured, not
+    # theoretical: in the 25k-step flagship run the step-20000 accumulation
+    # (80% of a cosine schedule, sow_lr nearly annealed) REGRESSED eval ppl
+    # 4.98 -> 5.03 — fresh factors injected under a near-zero sow_lr can
+    # neither learn nor recover the folded optimum (PARITY.md "Flagship
+    # experiment", schedule-interaction bullet). ~0.7 is the guided value.
+    sow_accum_end_frac: float = 1.0
     init_method: str = "normal_QR"
     grow_rank: bool = False
     # galore (ref simple_train.py:96-102)
@@ -491,15 +500,27 @@ class Trainer:
         self._tokens_dev = (
             metrics["ntok"] if self._tokens_dev is None else self._tokens_dev + metrics["ntok"]
         )
-        if (
-            self._has_sow()
-            and self.cfg.architecture == "sow"
-            and self.cfg.sow_accumulation > 0
-            and self.update_step % self.cfg.sow_accumulation == 0
-            and self.update_step < self.cfg.num_training_steps
-        ):
+        if self._accumulation_due():
             self.run_accumulation()
         return metrics
+
+    def _accumulation_due(self) -> bool:
+        """True when a SoW accumulation event should fire at ``update_step``.
+
+        Events land on every ``sow_accumulation`` multiple strictly before
+        the final step (ref simple_train.py:618-626), gated by
+        ``sow_accum_end_frac``: past that fraction of the schedule fresh
+        factors train under a nearly-annealed sow_lr and measurably hurt
+        (flagship: ppl 4.98 -> 5.03 from the 80%-of-schedule event)."""
+        cfg = self.cfg
+        return (
+            self._has_sow()
+            and cfg.architecture == "sow"
+            and cfg.sow_accumulation > 0
+            and self.update_step % cfg.sow_accumulation == 0
+            and self.update_step < cfg.num_training_steps
+            and self.update_step <= cfg.sow_accum_end_frac * cfg.num_training_steps
+        )
 
     def step_many(self, input_ids: jax.Array, attention_mask: Optional[jax.Array] = None):
         """K update steps in one dispatch (inputs shaped ``(k, batch, seq)``).
@@ -532,13 +553,7 @@ class Trainer:
         self._tokens_dev = (
             metrics["ntok"] if self._tokens_dev is None else self._tokens_dev + metrics["ntok"]
         )
-        if (
-            self._has_sow()
-            and self.cfg.architecture == "sow"
-            and self.cfg.sow_accumulation > 0
-            and self.update_step % self.cfg.sow_accumulation == 0
-            and self.update_step < self.cfg.num_training_steps
-        ):
+        if self._accumulation_due():
             self.run_accumulation()
         return metrics
 
