@@ -241,6 +241,13 @@ def main(argv=None):
                         "--engine batch, 1 for --engine server")
     p.add_argument("--max-new-tokens", type=int, default=32)
     p.add_argument("--rank", type=int, default=10)
+    p.add_argument("--checkpoint-arch", choices=("finetune", "linear", "sow"),
+                   default="finetune",
+                   help="checkpoint param template: 'finetune' (default — "
+                        "SoW adapters over the finetune target modules, "
+                        "decompose='keep'), or a pretrain checkpoint from "
+                        "train/pretrain.py ('linear' dense / 'sow' blank-"
+                        "factor template, folded to dense for eval)")
     p.add_argument("--int8-kv-cache", action="store_true",
                    help="quantized KV cache: half the cache HBM, faster decode")
     p.add_argument("--engine", choices=("batch", "server"), default="batch",
@@ -264,21 +271,38 @@ def main(argv=None):
 
     model_cfg = get_config(args.base_model)
     params = llama_lib.init_params(jax.random.PRNGKey(0), model_cfg)
-    params = prepare_sow(
-        params,
-        SoWConfig(target_modules=llama_lib.LLAMA_FINETUNE_TARGET_MODULES, rank=args.rank, decompose="keep"),
-        jax.random.PRNGKey(1),
-    )
+    if args.checkpoint_arch == "finetune":
+        params = prepare_sow(
+            params,
+            SoWConfig(target_modules=llama_lib.LLAMA_FINETUNE_TARGET_MODULES, rank=args.rank, decompose="keep"),
+            jax.random.PRNGKey(1),
+        )
+    elif args.checkpoint_arch == "sow":
+        # pretrain-template checkpoint (train/pretrain.py --architecture sow):
+        # blank factors over the pretrain target set, folded to dense for eval
+        params = prepare_sow(
+            params,
+            SoWConfig(target_modules=llama_lib.LLAMA_TARGET_MODULES,
+                      rank=args.rank, decompose=None),
+            jax.random.PRNGKey(1),
+        )
     ckpt = latest_checkpoint(args.checkpoint) or args.checkpoint
     params, _ = restore_params(params, ckpt)
+    if args.checkpoint_arch == "sow":
+        params = llama_lib.merge_sow_to_dense(params)
 
-    # "byte" -> builtin (offline); an explicit HF name must load or RAISE —
-    # a silent byte fallback would score the checkpoint with the wrong
-    # vocabulary and print a meaningless accuracy
+    # "byte" -> builtin (offline); a ``.json`` path -> local BPE
+    # (data/local_text.py, the flagship tokenizer); an explicit HF name must
+    # load or RAISE — a silent byte fallback would score the checkpoint with
+    # the wrong vocabulary and print a meaningless accuracy
     if args.tokenizer in (None, "byte"):
         from sow_tpu.data.byte_tokenizer import load_tokenizer_or_byte
 
         tok = load_tokenizer_or_byte("byte")
+    elif args.tokenizer.endswith(".json"):
+        from sow_tpu.data.local_text import load_local_tokenizer
+
+        tok = load_local_tokenizer(args.tokenizer)
     else:
         from transformers import AutoTokenizer
 

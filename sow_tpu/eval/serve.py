@@ -41,6 +41,7 @@ and per-request temperature sampling (Gumbel-max, reproducible per seed).
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import lru_cache, partial
 from typing import Optional
 
@@ -723,6 +724,14 @@ class GenerationServer:
         self._n_occupied_ticks = 0  # ticks x slots holding a live request
         self._n_generated = 0
         self._n_completed = 0
+        # per-request wall-clock marks (monotonic): "submit" at queue entry,
+        # "admit" when the request's grouped prefill is DISPATCHED (its
+        # first token is computed in that call; admit-submit is the
+        # scheduling/queueing delay and a lower-bound TTFT proxy — the
+        # prefill itself completes asynchronously), "done" at retirement
+        # sync. Powers the online-arrival benchmark's TTFT / latency
+        # percentiles (benchmarks/serve_bench.py --arrival-rate).
+        self.request_times: dict[int, dict] = {}
 
         # jitted fns come from module-level lru_caches keyed on the static
         # config, so every server with the same (cfg, chunk, eos, seed)
@@ -785,6 +794,7 @@ class GenerationServer:
             b = min(_next_pow2(len(prompt_ids)), self.max_len)
             self.buckets = self.buckets + (b,)
         self.pending.append((rid, (list(prompt_ids), max_new_tokens, temperature)))
+        self.request_times[rid] = {"submit": time.perf_counter()}
         return rid
 
     def step(self) -> dict[int, list]:
@@ -888,8 +898,10 @@ class GenerationServer:
                 self.draft_cache = dfn(self.draft_params, self.draft_cache, packed)
             self._n_prefill_calls += 1
             self._n_prefilled += g_real
+            now = time.perf_counter()
             for g, (rid, (prompt, max_new, temperature)) in enumerate(batch):
                 self.slots[free[g]] = _Slot(rid, len(prompt), max_new, temperature)
+                self.request_times[rid]["admit"] = now
 
     def _admit_beam(self):
         """Grouped beam admission: each request takes one free GROUP (a
@@ -927,8 +939,10 @@ class GenerationServer:
             )
             self._n_prefill_calls += 1
             self._n_prefilled += g_real
+            now = time.perf_counter()
             for g, (rid, (prompt, max_new, _temp)) in enumerate(batch):
                 self.slots[free[g]] = _Slot(rid, len(prompt), max_new)
+                self.request_times[rid]["admit"] = now
 
     def _prefill_fn(self, bucket: int, group: int):
         key = (bucket, group)
@@ -1011,6 +1025,7 @@ class GenerationServer:
                 out = [int(t) for t in snap[i, 2 : 2 + min(ngen, slot.max_new)]]
                 done[slot.request_id] = out
                 self.finished[slot.request_id] = out
+                self.request_times[slot.request_id]["done"] = time.perf_counter()
                 self.slots[i] = None
                 self._n_completed += 1
         return done
@@ -1039,6 +1054,7 @@ class GenerationServer:
                     out += [self.eos] * (slot.max_new - n)
                 done[slot.request_id] = out
                 self.finished[slot.request_id] = out
+                self.request_times[slot.request_id]["done"] = time.perf_counter()
                 self.slots[g] = None
                 self._n_completed += 1
         return done

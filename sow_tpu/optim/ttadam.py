@@ -79,6 +79,9 @@ def ttadam(
     ema_mode: str = "dense",
     v_mode: str = "tt",
     layout: str = "uniform",
+    labels: Any = None,
+    lrs: dict[str, float] | None = None,
+    schedules: dict[str, Any] | None = None,
 ) -> TTAdam:
     """Adam whose 2D-moment storage is TT-compressed between steps.
 
@@ -124,6 +127,20 @@ def ttadam(
     """
     spec_fn = tt_spec or default_tt_spec()
 
+    # Optional grouped-LR mode (mirrors grouped_adamw's labels/lrs/schedules
+    # contract, adamw.py:50-77): when ``labels`` is given, each leaf's LR is
+    # ``lrs[label] * schedules[label](step)`` — this is what lets TT-Adam
+    # drive a SoW model (factors at sow_lr, the rest at lr) straight from
+    # the training CLI.
+    if labels is not None:
+        from sow_tpu.optim.schedules import constant_schedule
+
+        _scheds = dict(schedules or {})
+        _label_set = sorted({l for l in jax.tree_util.tree_leaves(labels)})
+        for l in _label_set:
+            _scheds.setdefault(l, constant_schedule(1.0))
+        _base_lr = {l: (lrs or {}).get(l, 0.0) for l in _label_set}
+
     def _is_tt(x):
         return isinstance(x, TensorTrain)
 
@@ -155,9 +172,9 @@ def ttadam(
 
     def update(grads, state: TTAdamState, params):
         step = state.step + 1
-        lr_t = lr(step) if callable(lr) else lr
+        base_lr_t = lr(step) if callable(lr) else lr
 
-        def upd(g, c, m, v, p):
+        def upd(g, c, m, v, p, lr_t):
             c = c + 1
             g32 = g.astype(jnp.float32)
             is_tt = isinstance(m, TensorTrain)
@@ -229,8 +246,8 @@ def ttadam(
                 step_size = step_size * jnp.sqrt(1.0 - b2**cf) / (1.0 - b1**cf)
             u = -step_size * m_d / denom
             if weight_decay > 0.0:
-                # decoupled, scaled by base lr (ref ttadam.py:110-111)
-                u = u - (lr_t if not callable(lr) else lr_t) * weight_decay * p.astype(jnp.float32)
+                # decoupled, scaled by the leaf's current lr (ref ttadam.py:110-111)
+                u = u - lr_t * weight_decay * p.astype(jnp.float32)
             return u.astype(p.dtype), c, m_new, v_new
 
         # Group TT leaves by (param shape, TT ranks) and vmap one fused
@@ -243,6 +260,12 @@ def ttadam(
         flat_c = treedef.flatten_up_to(state.count)
         flat_m = treedef.flatten_up_to(state.mu)
         flat_v = treedef.flatten_up_to(state.nu)
+        if labels is None:
+            flat_lr = [jnp.float32(base_lr_t)] * len(flat_p)
+        else:
+            lr_by_label = {l: jnp.float32(_base_lr[l] * _scheds[l](step))
+                           for l in _label_set}
+            flat_lr = [lr_by_label[lab] for lab in treedef.flatten_up_to(labels)]
 
         groups: dict = {}
         for idx, (p, m) in enumerate(zip(flat_p, flat_m)):
@@ -257,9 +280,10 @@ def ttadam(
             g_s = jnp.stack([flat_g[i] for i in idxs])
             c_s = jnp.stack([flat_c[i] for i in idxs])
             p_s = jnp.stack([flat_p[i] for i in idxs])
+            lr_s = jnp.stack([flat_lr[i] for i in idxs])
             m_s = jax.tree_util.tree_map(stack, *(flat_m[i] for i in idxs))
             v_s = jax.tree_util.tree_map(stack, *(flat_v[i] for i in idxs))
-            u_s, c_out, m_out, v_out = vupd(g_s, c_s, m_s, v_s, p_s)
+            u_s, c_out, m_out, v_out = vupd(g_s, c_s, m_s, v_s, p_s, lr_s)
             for j, i in enumerate(idxs):
                 take = lambda x: x[j]
                 out[i] = (
@@ -271,7 +295,8 @@ def ttadam(
 
         for i in range(len(flat_p)):
             if out[i] is None:
-                out[i] = upd(flat_g[i], flat_c[i], flat_m[i], flat_v[i], flat_p[i])
+                out[i] = upd(flat_g[i], flat_c[i], flat_m[i], flat_v[i],
+                             flat_p[i], flat_lr[i])
 
         return (
             treedef.unflatten([x[0] for x in out]),
@@ -311,3 +336,66 @@ def pure_tt_adam_update(
     v_hat = (1.0 / (1.0 - b2)) * v
     update = alpha * (m_hat * v_hat.sqrtinv(max_iter=newton_iters))
     return update, m, v
+
+
+def rebuild_tt_state_after_accumulation(
+    old_state: TTAdamState,
+    fresh_state: TTAdamState,
+    labels: Any,
+    reset_label: str = "sow",
+) -> TTAdamState:
+    """TTAdam counterpart of ``adamw.rebuild_state_after_accumulation``
+    (adamw.py:154-191): after a SoW accumulation event restructures the
+    params, carry non-``reset_label`` moments/counts over by param path and
+    keep the fresh zeros for the reset group — the reference's per-group
+    ``reset_optimizer`` (training_utils.py:257-277).
+
+    Moment leaves here may be ``TensorTrain`` pytrees; a leaf carries over
+    only when its full core structure matches (same treedef + shapes),
+    which holds exactly for the untouched non-SoW params.
+    """
+
+    def _entry(x):
+        # one "entry" per param position: a TensorTrain, a factored-v
+        # {"vr","vc"} dict, or a plain array — NOT the dict's sub-leaves
+        # (flattening those would misalign the zip against the per-param
+        # label leaves)
+        return isinstance(x, TensorTrain) or (
+            isinstance(x, dict) and set(x) == {"vr", "vc"}
+        )
+
+    def _leaf_struct(x):
+        return (
+            jax.tree_util.tree_structure(x),
+            [(l.shape, l.dtype) for l in jax.tree_util.tree_leaves(x)],
+        )
+
+    old_moments = {}
+    for name, tree in (("mu", old_state.mu), ("nu", old_state.nu), ("count", old_state.count)):
+        flat, _ = jax.tree_util.tree_flatten_with_path(tree, is_leaf=_entry)
+        for path, leaf in flat:
+            old_moments[(name, jax.tree_util.keystr(path))] = leaf
+
+    lab_leaves = jax.tree_util.tree_leaves(labels)
+
+    def carry(name, tree):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tree, is_leaf=_entry)
+        out = []
+        for (path, leaf), lab in zip(flat, lab_leaves):
+            k = (name, jax.tree_util.keystr(path))
+            if (
+                lab != reset_label
+                and k in old_moments
+                and _leaf_struct(old_moments[k]) == _leaf_struct(leaf)
+            ):
+                out.append(old_moments[k])
+            else:
+                out.append(leaf)  # reset group: fresh zeros == the reset
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return TTAdamState(
+        step=old_state.step,
+        count=carry("count", fresh_state.count),
+        mu=carry("mu", fresh_state.mu),
+        nu=carry("nu", fresh_state.nu),
+    )

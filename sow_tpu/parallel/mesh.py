@@ -163,6 +163,39 @@ def opt_state_shardings(mesh: Mesh, opt_state, params_sh) -> Any:
             main=opt_state_shardings(mesh, opt_state.main, params_sh),
             routed=_routed_shardings(mesh, opt_state.routed, params_sh),
         )
+    from sow_tpu.optim.ttadam import TTAdamState
+
+    if isinstance(opt_state, TTAdamState):
+        # Dense (uncompressed) moment leaves mirror their param's sharding;
+        # TT cores and factored row/col vectors are tiny -> replicated.
+        # mu/nu hold one entry per param position: a plain array, a
+        # TensorTrain, or a {"vr","vc"} dict — flatten both trees at that
+        # granularity and zip against the params' sharding leaves.
+        from sow_tpu.tt import TensorTrain
+
+        def _entry(x):
+            return isinstance(x, TensorTrain) or (
+                isinstance(x, dict) and set(x) == {"vr", "vc"}
+            )
+
+        sh_flat = jax.tree_util.tree_leaves(params_sh)
+
+        def tt_moment_tree(tree):
+            flat, treedef = jax.tree_util.tree_flatten(tree, is_leaf=_entry)
+            out = []
+            for sh, m in zip(sh_flat, flat):
+                if _entry(m):
+                    out.append(jax.tree_util.tree_map(lambda _: rep, m))
+                else:
+                    out.append(sh if getattr(m, "ndim", 0) >= 1 else rep)
+            return jax.tree_util.tree_unflatten(treedef, out)
+
+        return TTAdamState(
+            step=rep,
+            count=jax.tree_util.tree_map(lambda _: rep, opt_state.count),
+            mu=tt_moment_tree(opt_state.mu),
+            nu=tt_moment_tree(opt_state.nu),
+        )
     # fall back: replicate everything
     return jax.tree_util.tree_map(lambda _: rep, opt_state)
 

@@ -460,12 +460,9 @@ class PipelineTrainer:
             if self._tokens_dev is None
             else self._tokens_dev + metrics["ntok"]
         )
-        if (
-            self.cfg.architecture == "sow"
-            and self.cfg.sow_accumulation > 0
-            and self.update_step % self.cfg.sow_accumulation == 0
-            and self.update_step < self.cfg.num_training_steps
-        ):
+        from sow_tpu.train.trainer import accumulation_event_due
+
+        if accumulation_event_due(self.cfg, self.update_step):
             self.run_accumulation()
         return metrics
 

@@ -75,6 +75,16 @@ class TrainConfig:
     # neither learn nor recover the folded optimum (PARITY.md "Flagship
     # experiment", schedule-interaction bullet). ~0.7 is the guided value.
     sow_accum_end_frac: float = 1.0
+    # Post-accumulation factor re-init. "random" (reference: fresh A is a
+    # QR of N(0,0.02) noise, B zero — sow.py:157-178). "grad": warm-start A
+    # with an orthonormal basis of the top-(rank*n_iter) LEFT singular
+    # subspace of the CURRENT loss gradient dL/dW at the folded point
+    # (GaLore-style; randomized range-finder + one power iteration, MXU
+    # matmuls only). B stays zero, so the fold is still output-continuous —
+    # but the first post-fold updates of B (dL/dB = A^T dL/dW) now capture
+    # the top gradient energy instead of a random-subspace projection of it.
+    # Targets the conv9m deficit's untested lever (VERDICT r3 weak-6).
+    sow_reinit: str = "random"
     init_method: str = "normal_QR"
     grow_rank: bool = False
     # galore (ref simple_train.py:96-102)
@@ -91,6 +101,19 @@ class TrainConfig:
     embed_optimizer: str = "factored"
     # Back-compat alias: True forces embed_optimizer="galore".
     galore_embeddings: bool = False
+    # Whole-model optimizer family. "adamw" (default): the grouped AdamW
+    # stack above. "ttadam": TT-compressed moment storage for every 2D
+    # param >= tt_min_dim (optim/ttadam.py ≙ tn_gradient/optimizer/
+    # ttadam.py:10-117), grouped lrs (lr / sow_lr) preserved. The
+    # TPU-recommended config is the default below: matrix layout +
+    # Adafactor-factored v (1.04x dense step time at 83x moment
+    # compression, BENCH_HISTORY r3).
+    optimizer: str = "adamw"
+    tt_rank: int = 16
+    tt_layout: str = "matrix"  # matrix | uniform | wide
+    tt_v_mode: str = "factored"  # factored | tt
+    tt_ema_mode: str = "dense"  # dense | tt (tt = single-decompose TTRAdam)
+    tt_min_dim: int = 64
     # data/model
     batch_size: int = 128  # per-step global batch (sequences)
     max_length: int = 256
@@ -120,6 +143,24 @@ class TrainConfig:
     # PipelineTrainer on a (data, stage) mesh; gradient_accumulation becomes
     # the microbatch count.
     mesh_stage: int = 1
+
+
+def accumulation_event_due(cfg: "TrainConfig", update_step: int) -> bool:
+    """Shared SoW accumulation-event predicate (Trainer + PipelineTrainer).
+
+    An event fires on every ``sow_accumulation`` multiple strictly before the
+    final step (ref simple_train.py:618-626), unless it lands past the
+    ``sow_accum_end_frac`` cutoff. The cutoff is computed as an INTEGER step
+    once — ``frac * steps`` in floats silently drops exact-boundary events
+    (0.57 * 10000 == 5699.999...)."""
+    if cfg.architecture != "sow" or cfg.sow_accumulation <= 0:
+        return False
+    cutoff = round(cfg.sow_accum_end_frac * cfg.num_training_steps)
+    return (
+        update_step % cfg.sow_accumulation == 0
+        and update_step < cfg.num_training_steps
+        and update_step <= cutoff
+    )
 
 
 def _dtype(name: str):
@@ -260,6 +301,27 @@ class Trainer:
         labels = param_labels(self.params) if self._has_sow() else jax.tree_util.tree_map(
             lambda _: "regular", self.params
         )
+        if self.cfg.optimizer == "ttadam":
+            # TT-Adam over the whole tree (embed/lm_head included — TT
+            # compression of exactly those big moments is its point, so the
+            # embed_optimizer routing above does not apply).
+            from sow_tpu.optim.ttadam import default_tt_spec, ttadam
+
+            self.labels = labels
+            order = 2 if self.cfg.tt_layout == "matrix" else 4
+            self.opt = ttadam(
+                labels=labels,
+                lrs={"regular": self.cfg.lr, "sow": self.cfg.sow_lr},
+                schedules=self._schedules(),
+                weight_decay=self.cfg.weight_decay,
+                tt_spec=default_tt_spec(
+                    order=order, rank=self.cfg.tt_rank, min_dim=self.cfg.tt_min_dim
+                ),
+                layout=self.cfg.tt_layout,
+                v_mode=self.cfg.tt_v_mode,
+                ema_mode=self.cfg.tt_ema_mode,
+            )
+            return
         embed_opt = "galore" if self.cfg.galore_embeddings else self.cfg.embed_optimizer
         if self._has_sow() and embed_opt != "adamw":
             # embed/lm_head moments (the bulk of remaining optimizer HBM) go
@@ -501,7 +563,7 @@ class Trainer:
             metrics["ntok"] if self._tokens_dev is None else self._tokens_dev + metrics["ntok"]
         )
         if self._accumulation_due():
-            self.run_accumulation()
+            self.run_accumulation(probe_batch=(input_ids, attention_mask))
         return metrics
 
     def _accumulation_due(self) -> bool:
@@ -512,15 +574,7 @@ class Trainer:
         ``sow_accum_end_frac``: past that fraction of the schedule fresh
         factors train under a nearly-annealed sow_lr and measurably hurt
         (flagship: ppl 4.98 -> 5.03 from the 80%-of-schedule event)."""
-        cfg = self.cfg
-        return (
-            self._has_sow()
-            and cfg.architecture == "sow"
-            and cfg.sow_accumulation > 0
-            and self.update_step % cfg.sow_accumulation == 0
-            and self.update_step < cfg.num_training_steps
-            and self.update_step <= cfg.sow_accum_end_frac * cfg.num_training_steps
-        )
+        return self._has_sow() and accumulation_event_due(self.cfg, self.update_step)
 
     def step_many(self, input_ids: jax.Array, attention_mask: Optional[jax.Array] = None):
         """K update steps in one dispatch (inputs shaped ``(k, batch, seq)``).
@@ -539,7 +593,12 @@ class Trainer:
             and self.cfg.sow_accumulation > 0
         ):
             nxt = (self.update_step // self.cfg.sow_accumulation + 1) * self.cfg.sow_accumulation
-            assert nxt >= self.update_step + k, (
+            # Only chunks crossing a boundary where an event would actually
+            # FIRE are illegal — events disabled by sow_accum_end_frac (or
+            # landing on/after the final step) don't need host interleaving.
+            assert nxt >= self.update_step + k or not accumulation_event_due(
+                self.cfg, nxt
+            ), (
                 f"step_many chunk of {k} would cross the SoW accumulation "
                 f"boundary at step {nxt}; shrink steps-per-dispatch so it "
                 f"divides sow_accumulation"
@@ -554,11 +613,77 @@ class Trainer:
             metrics["ntok"] if self._tokens_dev is None else self._tokens_dev + metrics["ntok"]
         )
         if self._accumulation_due():
-            self.run_accumulation()
+            self.run_accumulation(
+                probe_batch=(input_ids[-1], attention_mask[-1])
+            )
         return metrics
 
     # -- SoW accumulation event --------------------------------------------
-    def run_accumulation(self):
+    def _grad_warm_start(self, params, input_ids, attention_mask):
+        """Replace each freshly-reinitialized A with an orthonormal basis of
+        the top-(rank*n_iter) left singular subspace of dL/dW at the folded
+        point (``sow_reinit="grad"``).
+
+        dL/dW is obtained exactly via an identity probe: a layer with
+        ``down = I`` and ``up = 0`` computes the same outputs (W_eff = acc),
+        and its ``up`` cotangent is ``scale * I^T dL/dW`` — so one backward
+        pass over the probe tree yields every layer's full weight gradient
+        without touching model code. The subspace basis comes from a
+        randomized range finder with one power iteration (G @ Omega then
+        G @ (G^T @ Y) then QR — all MXU matmuls). B stays zero: the event
+        remains output-continuous; the warm A only redirects where the
+        first post-fold B updates (dL/dB = A^T dL/dW) can look."""
+        import dataclasses as _dc
+
+        from sow_tpu.nn.surgery import iter_sow, map_sow
+
+        def probe_layer(_path, layer):
+            d_in, d_out = layer.in_features, layer.out_features
+            eye = jnp.eye(d_in, dtype=jnp.float32)[None]
+            zer = jnp.zeros((1, d_in, d_out), jnp.float32)
+            return _dc.replace(
+                layer, down=eye, up=zer, rank=d_in, n_iter=1,
+                virtual_rank=layer.virtual_rank,
+            )
+
+        probe = map_sow(params, probe_layer)
+        with jax.set_mesh(self.mesh):
+            grads = jax.jit(jax.grad(self._loss_fn))(
+                probe, input_ids, attention_mask
+            )
+        g_by_path = dict(iter_sow(grads))
+
+        @jax.jit
+        def topr_basis(G, omega):
+            y = G @ omega
+            y = G @ (G.T @ y)  # one power iteration
+            q, _ = jnp.linalg.qr(y.astype(jnp.float32))
+            return q
+
+        paths = [p for p, _ in iter_sow(params)]
+        keys = dict(zip(paths, jax.random.split(
+            jax.random.PRNGKey(self.cfg.seed + 2000 + self.update_step),
+            max(len(paths), 1),
+        )))
+
+        def warm(path, layer):
+            G = g_by_path[path].up[0].astype(jnp.float32)
+            r_tot = layer.rank * layer.n_iter
+            r_eff = min(r_tot, G.shape[0], G.shape[1])
+            omega = jax.random.normal(keys[path], (G.shape[1], r_eff), jnp.float32)
+            q = topr_basis(G, omega)  # (in, r_eff) orthonormal
+            down = layer.down
+            cols = []
+            for i in range(layer.n_iter):
+                c = q[:, i * layer.rank:(i + 1) * layer.rank]
+                if c.shape[1] < layer.rank:  # subspace exhausted: keep random
+                    c = jnp.concatenate([c, down[i][:, c.shape[1]:]], axis=1)
+                cols.append(c)
+            return _dc.replace(layer, down=jnp.stack(cols).astype(down.dtype))
+
+        return map_sow(params, warm)
+
+    def run_accumulation(self, probe_batch=None):
         """Fold factors into bases + reset the SoW optimizer group.
 
         Mirrors ``simple_train.py:618-626``: ``accumulate(model)`` then
@@ -577,6 +702,8 @@ class Trainer:
             from sow_tpu.nn import set_sow_scale
 
             new_params = set_sow_scale(new_params, self.cfg.sow_scale_after_first)
+        if self.cfg.sow_reinit == "grad" and probe_batch is not None:
+            new_params = self._grad_warm_start(new_params, *probe_batch)
         old_state = self.opt_state
 
         self.params = self._device_put_params(new_params)
@@ -590,6 +717,16 @@ class Trainer:
                 return SplitState(
                     main=rebuild(old_st.main, fresh_st.main),
                     routed=old_st.routed,  # embed/head state unaffected by SoW events
+                )
+            from sow_tpu.optim.ttadam import (
+                TTAdamState,
+                rebuild_tt_state_after_accumulation,
+            )
+
+            if isinstance(old_st, TTAdamState):
+                return rebuild_tt_state_after_accumulation(
+                    old_st, fresh_st, self.labels,
+                    reset_label="__keep_all__" if self.cfg.sow_keep_moments else "sow",
                 )
             return rebuild_state_after_accumulation(
                 old_st, fresh_st, self.labels,
