@@ -78,14 +78,20 @@ class Prefetcher:
     def _transfer(self, batch):
         if self._shardings is None:
             return batch
+        from sow_tpu.parallel.multihost import put_sharded
+
         if isinstance(batch, dict) and not isinstance(self._shardings, dict):
             out = {}
             for k, v in batch.items():
                 host = np.asarray(v)
-                out[k] = jax.device_put(host, self._shardings)
+                out[k] = put_sharded(host, self._shardings)
                 if self._verify:
                     self._audit(k, host, out[k])
             return out
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda v: put_sharded(np.asarray(v), self._shardings), batch
+            )
         return jax.device_put(batch, self._shardings)
 
     def _put(self, item) -> bool:

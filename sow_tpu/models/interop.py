@@ -194,3 +194,46 @@ def params_to_reference_sow_state_dict(params: dict, cfg: LlamaConfig) -> dict:
     if "lm_head" in params:
         put("lm_head.weight", params["lm_head"]["kernel"], transpose=True)
     return sd
+
+
+def load_pretrain_checkpoint(
+    model: str,
+    arch: str,
+    ckpt: str,
+    rank: int = 50,
+    dtype=None,
+):
+    """Rebuild the pretraining param template for ``model``/``arch``, restore
+    ``ckpt`` into it, and fold SoW layers to dense.
+
+    The shared loader behind every consumer of a ``train/pretrain.py``
+    checkpoint outside the trainer itself — serving/spec benchmarks, the W4
+    eval CLI (``--checkpoint-arch``), and GLUE finetuning from a
+    locally-pretrained base (``--base-checkpoint``). Returns
+    ``(params, model_cfg)``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sow_tpu.checkpoint import latest_checkpoint, restore_params
+    from sow_tpu.models import get_config, init_params
+    from sow_tpu.models import llama as llama_lib
+    from sow_tpu.nn import SoWConfig, prepare_sow
+
+    dtype = dtype or jnp.bfloat16
+    cfg = get_config(model)
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    if arch == "sow":
+        params = prepare_sow(
+            params,
+            SoWConfig(
+                target_modules=llama_lib.LLAMA_TARGET_MODULES,
+                rank=rank, decompose=None, dtype=dtype,
+            ),
+            jax.random.PRNGKey(1),
+        )
+    path = latest_checkpoint(ckpt) or ckpt
+    params, _ = restore_params(params, path)
+    if arch == "sow":
+        params = llama_lib.merge_sow_to_dense(params)
+    return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params), cfg

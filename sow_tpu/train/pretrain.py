@@ -77,11 +77,28 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="on crash, resume from the latest checkpoint up to N times "
                         "(simple fault tolerance; the reference has none — "
                         "SURVEY §5 'failure detection: None')")
+    # multi-process SPMD (the torchrun/DDP equivalence, SURVEY §2.4:
+    # simple_train.py:229 `dist.init_process_group` -> jax.distributed over
+    # one global mesh; ICI within a slice, DCN across). One process per
+    # host; all three flags must be set together.
+    p.add_argument("--multihost-coordinator", type=str, default=None,
+                   help="coordinator address host:port (process 0's)")
+    p.add_argument("--multihost-num-processes", type=int, default=0)
+    p.add_argument("--multihost-process-id", type=int, default=-1)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.multihost_coordinator is not None:
+        from sow_tpu.parallel import multihost
+
+        # must precede every other jax call (backend init is one-shot)
+        multihost.initialize(
+            args.multihost_coordinator,
+            args.multihost_num_processes,
+            args.multihost_process_id,
+        )
     attempts = max(args.auto_restart, 0)
     while True:
         try:
@@ -160,6 +177,28 @@ def _run(args):
         return make_pretrain_stream(
             batch_size, cfg.max_length, trainer.model_cfg.vocab_size,
             seed=seed, synthetic=args.synthetic_data, split=split,
+        )
+
+    multi = jax.process_count() > 1
+    prim = not multi or jax.process_index() == 0
+    if multi and args.prefetch < 1:
+        raise ValueError("--multihost-* requires --prefetch >= 1 (the "
+                         "prefetcher owns the per-process shard upload)")
+
+    def do_save(step):
+        save_params = trainer.standard_params if use_pp else trainer.params
+        save_opt = trainer.standard_opt_state if use_pp else trainer.opt_state
+        if multi:
+            from sow_tpu.parallel import multihost
+
+            # collective: every process gathers, only process 0 writes
+            save_params = multihost.gather_to_host(save_params)
+            save_opt = multihost.gather_to_host(save_opt)
+            if not prim:
+                return
+        save_checkpoint(
+            args.save_dir, step, save_params, save_opt,
+            config=dataclasses.asdict(cfg), tokens_seen=trainer.tokens_seen,
         )
 
     data = stream("train", cfg.batch_size * cfg.gradient_accumulation, cfg.seed)
@@ -247,40 +286,32 @@ def _run(args):
             # window must close on completed compute, not enqueued work
             dt = time.perf_counter() - t_log
             tps = (trainer.tokens_seen - tokens_at_log) / max(dt, 1e-9)
-            print(
-                f"step {step} | loss {float(metrics['loss']):.4f} | "
-                f"grad_norm {float(metrics['grad_norm']):.3f} | {tps:,.0f} tokens/s"
-            )
-            logger.log(
-                step,
-                loss=metrics["loss"],
-                grad_norm=metrics["grad_norm"],
-                tokens_per_sec=tps,
-                tokens_seen=trainer.tokens_seen,
-            )
+            if prim:
+                print(
+                    f"step {step} | loss {float(metrics['loss']):.4f} | "
+                    f"grad_norm {float(metrics['grad_norm']):.3f} | {tps:,.0f} tokens/s"
+                )
+                logger.log(
+                    step,
+                    loss=metrics["loss"],
+                    grad_norm=metrics["grad_norm"],
+                    tokens_per_sec=tps,
+                    tokens_seen=trainer.tokens_seen,
+                )
             t_log, tokens_at_log = time.perf_counter(), trainer.tokens_seen
 
         if args.save_dir and step % args.save_every == 0:
-            save_params = trainer.standard_params if use_pp else trainer.params
-            save_opt = trainer.standard_opt_state if use_pp else trainer.opt_state
-            save_checkpoint(
-                args.save_dir, step, save_params, save_opt,
-                config=dataclasses.asdict(cfg), tokens_seen=trainer.tokens_seen,
-            )
+            do_save(step)
 
         if args.eval_every and step % args.eval_every == 0:
             eval_data = stream("validation", cfg.batch_size, cfg.seed + 1)
             out = trainer.evaluate(eval_data, max_tokens=args.eval_tokens)
-            print(f"eval @ {step}: loss {out['eval_loss']:.4f} ppl {out['perplexity']:.2f}")
-            logger.log(step, eval_loss=out["eval_loss"], perplexity=out["perplexity"])
+            if prim:
+                print(f"eval @ {step}: loss {out['eval_loss']:.4f} ppl {out['perplexity']:.2f}")
+                logger.log(step, eval_loss=out["eval_loss"], perplexity=out["perplexity"])
 
     if args.save_dir:
-        save_params = trainer.standard_params if use_pp else trainer.params
-        save_opt = trainer.standard_opt_state if use_pp else trainer.opt_state
-        save_checkpoint(
-            args.save_dir, trainer.update_step, save_params, save_opt,
-            config=dataclasses.asdict(cfg), tokens_seen=trainer.tokens_seen,
-        )
+        do_save(trainer.update_step)
     final = {"final_step": trainer.update_step, "tokens_seen": trainer.tokens_seen}
     if args.eval_every and trainer.update_step % args.eval_every != 0:
         # the 25k-step flagship (readme.md:6-25) ends off the eval cadence;
@@ -289,8 +320,9 @@ def _run(args):
             stream("validation", cfg.batch_size, cfg.seed + 1),
             max_tokens=args.eval_tokens,
         )
-        logger.log(trainer.update_step, eval_loss=out["eval_loss"],
-                   perplexity=out["perplexity"])
+        if prim:
+            logger.log(trainer.update_step, eval_loss=out["eval_loss"],
+                       perplexity=out["perplexity"])
         final.update(final_eval_loss=out["eval_loss"],
                      final_perplexity=out["perplexity"])
     print(json.dumps(final))

@@ -17,6 +17,8 @@ import os
 import time
 from typing import Any, Callable, Iterable, Optional
 
+import jax
+
 from sow_tpu.train.trainer import TrainConfig, Trainer
 
 
@@ -253,6 +255,13 @@ def run_glue_sweep(
     batch_size: int = 16,
     max_length: int = 64,
     seed: int = 0,
+    data: str = "synthetic",
+    tokenizer_path: str | None = None,
+    roots=None,
+    base_checkpoint: str | None = None,
+    base_arch: str = "sow",
+    base_rank: int = 50,
+    eval_batches: int = 4,
 ) -> list[dict]:
     """Sweep the GLUE finetune workload over the reference bayes-sweep's 4-D
     box (lr / sow_lr / rank / accumulation — ``glue_sweep.py:7-16``), on the
@@ -282,17 +291,40 @@ def run_glue_sweep(
         model_cfg = roberta_lib.ROBERTA_CONFIGS[model_name]
         build = build_roberta_glue_trainer
 
-    def batches(n, bseed):
-        rng = np.random.default_rng(bseed)
-        for _ in range(n):
-            ids = rng.integers(2, model_cfg.vocab_size, (batch_size, max_length))
-            yield {
-                "input_ids": jnp.asarray(ids),
-                "attention_mask": jnp.asarray(np.ones_like(ids)),
-                "labels": jnp.asarray(
-                    (ids[:, 0] < model_cfg.vocab_size // 2).astype(np.int64)
-                ),
-            }
+    base_params = None
+    if base_checkpoint is not None:
+        # locally-pretrained base (e.g. the flagship 60m) — the move that
+        # turns the sweep objective non-degenerate: with a trained trunk,
+        # trials separate on real data where random-init could not
+        from sow_tpu.models.interop import load_pretrain_checkpoint
+
+        base_params, model_cfg = load_pretrain_checkpoint(
+            model_name, base_arch, base_checkpoint, rank=base_rank
+        )
+
+    if data == "local":
+        from sow_tpu.data.local_text import load_local_tokenizer
+        from sow_tpu.train.glue import load_local_cls_batches
+
+        tok = load_local_tokenizer(tokenizer_path)
+
+        def batches(n, bseed, split="train"):
+            return load_local_cls_batches(
+                tok, roots, split, batch_size, max_length,
+                seed=bseed, n_batches=n,
+            )
+    else:
+        def batches(n, bseed, split="train"):
+            rng = np.random.default_rng(bseed)
+            for _ in range(n):
+                ids = rng.integers(2, model_cfg.vocab_size, (batch_size, max_length))
+                yield {
+                    "input_ids": jnp.asarray(ids),
+                    "attention_mask": jnp.asarray(np.ones_like(ids)),
+                    "labels": jnp.asarray(
+                        (ids[:, 0] < model_cfg.vocab_size // 2).astype(np.int64)
+                    ),
+                }
 
     def trial(i, combo):
         cfg = GlueConfig(
@@ -306,7 +338,14 @@ def run_glue_sweep(
             learning_rate=float(combo.get("lr", 5e-5)),
             sow_lr=float(combo.get("sow_lr", 1.2e-4)),
         )
-        trainer = build(cfg, model_cfg)
+        params_copy = (
+            jax.tree_util.tree_map(lambda x: x, base_params)
+            if base_params is not None else None
+        )
+        if params_copy is not None:
+            trainer = build(cfg, model_cfg, params=params_copy)
+        else:
+            trainer = build(cfg, model_cfg)
         t0 = time.perf_counter()
         last = None
         for b in batches(steps_per_run, cfg.seed):
@@ -317,18 +356,33 @@ def run_glue_sweep(
             "final_loss": float(last),
             "steps": steps_per_run,
             "seconds": round(time.perf_counter() - t0, 2),
-            "eval": {k: float(v) for k, v in trainer.evaluate(batches(4, cfg.seed + 1)).items()},
+            "eval": {
+                k: float(v) for k, v in trainer.evaluate(
+                    batches(eval_batches, seed + 10_000, split="validation")
+                ).items()
+            },
         }
         with open(out_path, "a") as f:
             f.write(json.dumps(record) + "\n")
         return record
+
+    def objective(r):
+        # TPE minimizes. Real-data sweeps optimize the EVAL metric (the
+        # reference bayes sweep's target, glue_sweep.py:13-15); synthetic
+        # smoke keeps the train-loss objective.
+        ev = r["eval"]
+        if data == "local":
+            for k in ("matthews_correlation", "accuracy"):
+                if k in ev:
+                    return 1.0 - ev[k]
+        return r["final_loss"]
 
     results = []
     if hasattr(combos_or_strategy, "propose"):
         for i in range(n_trials):
             combo = combos_or_strategy.propose()
             r = trial(i, combo)
-            combos_or_strategy.observe(combo, r["final_loss"])
+            combos_or_strategy.observe(combo, objective(r))
             results.append(r)
     else:
         for i, combo in enumerate(combos_or_strategy):
@@ -377,6 +431,21 @@ def main(argv=None):
                         "glue_sweep.py target) on offline synthetic batches")
     p.add_argument("--glue-model", type=str, default="roberta-test")
     p.add_argument("--task", type=str, default="cola")
+    p.add_argument("--glue-data", type=str, default="synthetic",
+                   choices=("synthetic", "local"),
+                   help="local = the real-text pysrc classification task "
+                        "over --data-dir through --tokenizer-path (egress-"
+                        "free GLUE stand-in with a non-degenerate objective)")
+    p.add_argument("--tokenizer-path", type=str, default=None)
+    p.add_argument("--data-dir", type=str, default=None,
+                   help="comma-separated corpus roots for --glue-data local")
+    p.add_argument("--base-checkpoint", type=str, default=None,
+                   help="pretrain checkpoint dir to init the llama trunk "
+                        "from (e.g. the flagship 60m)")
+    p.add_argument("--base-arch", type=str, default="sow",
+                   choices=("linear", "sow"))
+    p.add_argument("--base-rank", type=int, default=50)
+    p.add_argument("--eval-batches", type=int, default=4)
     args = p.parse_args(argv)
 
     axes = dict(
@@ -407,7 +476,11 @@ def main(argv=None):
             driver, n, args.steps_per_run, args.out,
             model_name=args.glue_model, task=args.task,
             batch_size=args.batch_size, max_length=args.max_length,
-            seed=args.seed,
+            seed=args.seed, data=args.glue_data,
+            tokenizer_path=args.tokenizer_path,
+            roots=args.data_dir.split(",") if args.data_dir else None,
+            base_checkpoint=args.base_checkpoint, base_arch=args.base_arch,
+            base_rank=args.base_rank, eval_batches=args.eval_batches,
         )
         best = min(results, key=lambda r: r["final_loss"])
         print(json.dumps({"runs": len(results), "best": best}))

@@ -16,6 +16,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sow_tpu.models import llama as llama_lib
 from sow_tpu.models.configs import get_config
@@ -236,17 +237,21 @@ class Trainer:
         self._tokens_dev = None
 
     def _ones_mask(self, shape) -> jax.Array:
+        from sow_tpu.parallel.multihost import put_sharded
+
         key = tuple(shape)
         if key not in self._mask_cache:
             sh = (stacked_token_sharding(self.mesh) if len(key) == 3
                   else token_sharding(self.mesh))
-            self._mask_cache[key] = jax.device_put(jnp.ones(shape, jnp.int32), sh)
+            self._mask_cache[key] = put_sharded(np.ones(shape, np.int32), sh)
         return self._mask_cache[key]
 
     # -- sharding helpers --------------------------------------------------
     def _device_put_params(self, params):
+        from sow_tpu.parallel.multihost import tree_put_sharded
+
         sh = params_shardings(self.mesh, params)
-        return jax.device_put(params, sh)
+        return tree_put_sharded(params, sh)
 
     def _opt_shardings(self, params):
         sh = params_shardings(self.mesh, params)
@@ -756,12 +761,20 @@ class Trainer:
         """Streamed eval to a token budget (ref ``simple_train.py:121-164``
         evaluates C4-val to 5M tokens and all-gathers the loss; here the
         global mean falls out of the sharded jit)."""
+        from sow_tpu.parallel.multihost import put_sharded
+
         fn = self._make_eval_step()
+        b_sh = token_sharding(self.mesh)
         total_loss, total_tok, n = 0.0, 0, 0
         for batch in batches:
             ids, mask = batch["input_ids"], batch.get("attention_mask")
             if mask is None:
-                mask = jnp.ones_like(ids)
+                mask = np.ones_like(np.asarray(ids))
+            if jax.process_count() > 1:
+                # every process streams the same eval batches; upload only
+                # the addressable shard of each
+                ids = put_sharded(np.asarray(ids), b_sh)
+                mask = put_sharded(np.asarray(mask), b_sh)
             with jax.set_mesh(self.mesh):
                 loss, ntok = fn(self.params, ids, mask)
             total_loss += float(loss) * int(ntok)

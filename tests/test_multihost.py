@@ -1,0 +1,80 @@
+"""Multi-process SPMD execution (SURVEY §2.4 — the torchrun/DDP equivalence).
+
+The reference validates its multi-process path only by running real
+torchrun jobs; here N coordinated CPU processes (each with K virtual
+devices) run the REAL pretraining CLI over one global 2x4-process mesh and
+must reproduce the single-process 8-device loss trajectory exactly — the
+strongest cross-process correctness check available without hardware.
+"""
+
+import json
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ARGS = [
+    "--model", "llama_test", "--architecture", "sow", "--rank", "2",
+    "--sow-accumulation", "3", "--num-training-steps", "6",
+    "--batch-size", "8", "--max-length", "16", "--synthetic-data",
+    "--logging-steps", "1", "--eval-every", "0", "--dtype", "float32",
+    "--mesh-fsdp", "2",
+]
+
+
+def _env(n_local):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local}"
+    return env
+
+
+def _losses(stdout: str) -> list:
+    return [float(m) for m in re.findall(r"loss (\d+\.\d+)", stdout)]
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    procs = []
+    for pid in range(2):
+        cmd = [
+            sys.executable, "-m", "sow_tpu.train.pretrain", *ARGS,
+            "--multihost-coordinator", f"127.0.0.1:{port}",
+            "--multihost-num-processes", "2",
+            "--multihost-process-id", str(pid),
+        ]
+        procs.append(subprocess.Popen(
+            cmd, cwd=REPO, env=_env(4), text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"rank {procs.index(p)} failed:\n{out[-4000:]}"
+
+    # process 0 owns logging; crossed the step-3 SoW accumulation event
+    multi_losses = _losses(outs[0])
+    assert len(multi_losses) == 6
+    assert '"final_step": 6' in outs[0]
+    assert _losses(outs[1]) == []  # non-primary stays silent
+
+    # single-process 8-device reference: identical trajectory (the mesh and
+    # per-device shards are the same; only the controller count differs)
+    ref = subprocess.run(
+        [sys.executable, "-m", "sow_tpu.train.pretrain", *ARGS],
+        cwd=REPO, env=_env(8), text=True, capture_output=True, timeout=900,
+    )
+    assert ref.returncode == 0, ref.stdout[-4000:] + ref.stderr[-2000:]
+    ref_losses = _losses(ref.stdout)
+    assert len(ref_losses) == 6
+    for a, b in zip(multi_losses, ref_losses):
+        assert abs(a - b) <= 2e-4 * max(abs(b), 1.0), (multi_losses, ref_losses)

@@ -369,3 +369,77 @@ class TestFactoredAdamW:
             p = apply_updates(p, u)
         err = float(jnp.abs(p["w"] - target).mean())
         assert err < 0.05
+
+
+class TestTTAdamGroupedLR:
+    """Grouped-LR mode (labels/lrs/schedules — the contract that lets
+    --optimizer ttadam drive SoW training from the CLI)."""
+
+    def _grads_params(self):
+        k = jax.random.PRNGKey(0)
+        params = {"a": jnp.zeros((64, 64)), "b": jnp.zeros((64, 64))}
+        grads = {
+            "a": jax.random.normal(k, (64, 64)) * 0.1,
+            "b": jax.random.normal(jax.random.fold_in(k, 1), (64, 64)) * 0.1,
+        }
+        return params, grads
+
+    def test_labels_route_per_group_lr(self):
+        params, grads = self._grads_params()
+        labels = {"a": "regular", "b": "sow"}
+        opt = ttadam(labels=labels, lrs={"regular": 1e-2, "sow": 0.0},
+                     layout="matrix", v_mode="factored",
+                     tt_spec=default_tt_spec(order=2, rank=8, min_dim=16))
+        state = opt.init(params)
+        updates, _ = opt.update(grads, state, params)
+        assert float(jnp.abs(updates["a"]).max()) > 0
+        # zero-lr group: moments advance but the update is exactly zero
+        assert float(jnp.abs(updates["b"]).max()) == 0.0
+
+    def test_uniform_lrs_match_unlabeled(self):
+        params, grads = self._grads_params()
+        labels = {"a": "regular", "b": "sow"}
+        spec = default_tt_spec(order=2, rank=8, min_dim=16)
+        grouped = ttadam(labels=labels, lrs={"regular": 3e-3, "sow": 3e-3},
+                         layout="matrix", v_mode="factored", tt_spec=spec)
+        plain = ttadam(lr=3e-3, layout="matrix", v_mode="factored", tt_spec=spec)
+        sg, sp = grouped.init(params), plain.init(params)
+        ug, _ = grouped.update(grads, sg, params)
+        up, _ = plain.update(grads, sp, params)
+        for ka in ("a", "b"):
+            np.testing.assert_allclose(np.asarray(ug[ka]), np.asarray(up[ka]),
+                                       rtol=1e-6, atol=1e-8)
+
+    def test_schedule_multiplies_group_lr(self):
+        params, grads = self._grads_params()
+        labels = {"a": "regular", "b": "regular"}
+        spec = default_tt_spec(order=2, rank=8, min_dim=16)
+        half = ttadam(labels=labels, lrs={"regular": 1e-2},
+                      schedules={"regular": lambda s: 0.5},
+                      layout="matrix", v_mode="factored", tt_spec=spec)
+        full = ttadam(labels=labels, lrs={"regular": 5e-3},
+                      layout="matrix", v_mode="factored", tt_spec=spec)
+        uh, _ = half.update(grads, half.init(params), params)
+        uf, _ = full.update(grads, full.init(params), params)
+        np.testing.assert_allclose(np.asarray(uh["a"]), np.asarray(uf["a"]),
+                                   rtol=1e-6, atol=1e-9)
+
+    def test_rebuild_after_accumulation_carries_non_sow(self):
+        from sow_tpu.optim.ttadam import rebuild_tt_state_after_accumulation
+
+        params, grads = self._grads_params()
+        labels = {"a": "regular", "b": "sow"}
+        spec = default_tt_spec(order=2, rank=8, min_dim=16)
+        opt = ttadam(labels=labels, lrs={"regular": 1e-2, "sow": 1e-3},
+                     layout="matrix", v_mode="factored", tt_spec=spec)
+        state = opt.init(params)
+        _, state = opt.update(grads, state, params)
+        fresh = opt.init(params)
+        merged = rebuild_tt_state_after_accumulation(state, fresh, labels)
+        # regular: carried over (non-zero TT cores); sow: fresh zeros
+        assert float(jnp.abs(merged.mu["a"].cores[0]).max()) > 0
+        assert float(jnp.abs(merged.mu["b"].cores[0]).max()) == 0.0
+        assert float(merged.count["a"]) == 1 and float(merged.count["b"]) == 0
+        np.testing.assert_allclose(np.asarray(merged.nu["a"]["vr"]),
+                                   np.asarray(state.nu["a"]["vr"]))
+        assert float(jnp.abs(merged.nu["b"]["vr"]).max()) == 0.0

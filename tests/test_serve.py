@@ -346,3 +346,36 @@ class TestBeamServer:
             assert False, "beam submit must reject temperature > 0"
         except ValueError:
             pass
+
+
+class TestRequestTimes:
+    """Per-request submit/admit/done marks (the online-benchmark telemetry)."""
+
+    def test_monotone_marks_for_every_request(self):
+        rng = np.random.RandomState(7)
+        srv = GenerationServer(PARAMS, CFG, max_batch=3, max_len=64,
+                               prompt_buckets=(8, 16))
+        rids = [
+            srv.submit(list(rng.randint(2, CFG.vocab_size, n)), max_new_tokens=5)
+            for n in (5, 9, 13, 7)
+        ]
+        srv.run()
+        for rid in rids:
+            t = srv.request_times[rid]
+            assert set(t) == {"submit", "admit", "done"}
+            assert t["submit"] <= t["admit"] <= t["done"]
+
+    def test_online_arrival_trace_shapes(self):
+        from benchmarks.serve_bench import make_arrivals
+
+        rng = np.random.RandomState(0)
+        arr = make_arrivals(rng, 100, rate=10.0)
+        assert len(arr) == 100 and all(b >= a for a, b in zip(arr, arr[1:]))
+        # mean inter-arrival ~ 1/rate (Poisson; loose 3-sigma-ish bound)
+        gaps = np.diff(arr)
+        assert 0.05 < gaps.mean() < 0.2
+        burst = make_arrivals(rng, 100, rate=10.0, burst=4)
+        assert len(burst) == 100
+        # bursts arrive back-to-back: 3 of every 4 gaps are exactly zero
+        bgaps = np.diff(burst)
+        assert (bgaps == 0).sum() >= 70

@@ -252,3 +252,88 @@ class TestGrowRankAndScheduler:
         # restart quirk pins steps 10,11 near zero for the sow group only
         assert sow_vals[10] == pytest.approx(1e-7)
         assert reg_vals[10] > 0.1
+
+
+class TestAccumulationPredicate:
+    """accumulation_event_due — the shared (Trainer + PipelineTrainer)
+    event predicate, with an integer cutoff."""
+
+    def test_integer_cutoff_keeps_exact_boundary_event(self):
+        from sow_tpu.train.trainer import TrainConfig, accumulation_event_due
+
+        # 0.57 * 10000 == 5699.999... in floats; the step-5700 event must
+        # still fire (the float compare silently dropped it)
+        cfg = TrainConfig(architecture="sow", sow_accumulation=100,
+                          num_training_steps=10_000, sow_accum_end_frac=0.57)
+        assert accumulation_event_due(cfg, 5700)
+        assert not accumulation_event_due(cfg, 5800)
+
+    def test_non_sow_never_due(self):
+        from sow_tpu.train.trainer import TrainConfig, accumulation_event_due
+
+        cfg = TrainConfig(architecture="linear", sow_accumulation=100,
+                          num_training_steps=1000)
+        assert not accumulation_event_due(cfg, 100)
+
+
+@pytest.mark.slow
+class TestRound4Training:
+    def test_step_many_allows_chunk_across_disabled_event(self):
+        """A chunk crossing an accumulation boundary that sow_accum_end_frac
+        has DISABLED needs no host interleaving and must not be rejected."""
+        tr = make_trainer(sow_accum_end_frac=0.3)  # events only at step 10
+        data = affine_stream(8, 16, tr.model_cfg.vocab_size, seed=0)
+        ids = jnp.stack([jnp.asarray(next(data)["input_ids"]) for _ in range(7)])
+        tr.update_step = 25  # chunk 25->32 crosses the (disabled) step-30 event
+        m = tr.step_many(ids)
+        assert tr.update_step == 32
+        assert np.isfinite(float(m["loss"]))
+
+    def test_grad_warm_start_orthonormal_and_continuous(self):
+        """sow_reinit='grad': post-fold A columns are orthonormal, differ
+        from the random-QR init, and the fold stays output-continuous
+        (B = 0)."""
+        a = make_trainer(sow_reinit="grad")
+        b = make_trainer()  # random reinit baseline
+        data = affine_stream(8, 16, a.model_cfg.vocab_size, seed=0)
+        batches = [next(data) for _ in range(10)]
+        fixed = jnp.asarray(batches[0]["input_ids"])
+        for bt in batches:
+            ids = jnp.asarray(bt["input_ids"])
+            la = a.step(ids)
+            b.step(ids)
+        assert a.update_step == 10  # crossed the step-10 event
+        for (_, warm), (_, rand) in zip(iter_sow(a.params), iter_sow(b.params)):
+            d = np.asarray(warm.down[0], np.float32)
+            gram = d.T @ d
+            np.testing.assert_allclose(gram, np.eye(gram.shape[0]),
+                                       atol=5e-2)
+            assert np.abs(np.asarray(warm.up)).max() == 0.0  # B stays zero
+            # warm subspace is not the random one
+            assert np.abs(d - np.asarray(rand.down[0], np.float32)).max() > 1e-3
+        # output continuity: same loss on a fixed batch for both reinits
+        mask = jnp.ones_like(fixed)
+        la = float(a._loss_fn(a.params, fixed, mask))
+        lb = float(b._loss_fn(b.params, fixed, mask))
+        np.testing.assert_allclose(la, lb, rtol=5e-4)
+
+    def test_ttadam_trainer_accumulation_resets_sow_moments(self):
+        """--optimizer ttadam across a SoW accumulation event: the optimizer
+        state is rebuilt for the post-fold tree; non-SoW moments carry."""
+        tr = make_trainer(optimizer="ttadam", tt_min_dim=16,
+                          mesh_data=-1, mesh_fsdp=1, mesh_model=1)
+        from sow_tpu.optim.ttadam import TTAdamState
+
+        data = affine_stream(8, 16, tr.model_cfg.vocab_size, seed=0)
+        losses = []
+        for _ in range(12):
+            m = tr.step(jnp.asarray(next(data)["input_ids"]))
+            losses.append(float(m["loss"]))
+        assert tr.update_step == 12  # crossed the step-10 event
+        assert isinstance(tr.opt_state, TTAdamState)
+        for _, layer in iter_sow(tr.params):
+            assert layer.acc_down is not None
+        # state structure matches the post-fold params (init would throw
+        # in the next step otherwise); loss keeps improving
+        tr.step(jnp.asarray(next(data)["input_ids"]))
+        assert np.mean(losses[-3:]) < np.mean(losses[:3])
