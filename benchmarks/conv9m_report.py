@@ -71,9 +71,26 @@ def main():
         if base is not None:
             print()
             print("ablation deltas vs the headline sow run (negative = closes the gap):")
-            for name in ("keep", "scale", "acc100", "acc400", "r64"):
+            for name in ("keep", "scale", "acc100", "acc400", "r64",
+                         "resetsched9m", "warm_r64", "warm_combo"):
                 if name in runs:
-                    print(f"  {name:8s} {runs[name] - base:+.4f} -> {runs[name]:.4f}")
+                    print(f"  {name:12s} {runs[name] - base:+.4f} -> {runs[name]:.4f}")
+
+        # round-4 seeded arms: grad warm-start reinit and TT-Adam, reported
+        # against their seeded baselines with the same pooled-sigma framing
+        for label, pfx, ref_vals, ref_name in (
+            ("warm-start (sow_reinit=grad)", "warm", sow, "sow"),
+            ("TT-Adam on sow", "ttadam_sow", sow, "sow"),
+            ("TT-Adam on dense", "ttadam_dense", dense, "dense"),
+        ):
+            vals = seeded(pfx)
+            if vals and ref_vals:
+                mv, mr = statistics.mean(vals), statistics.mean(ref_vals)
+                sd2 = statistics.pstdev(vals + ref_vals) or 1e-9
+                print()
+                print(f"{label}: {mv:.4f} (n={len(vals)}) vs {ref_name} "
+                      f"{mr:.4f} (n={len(ref_vals)}); delta {mv - mr:+.4f} "
+                      f"(~{(mv - mr) / sd2:.1f} pooled-sigma)")
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ streamA() {
   bash benchmarks/watchdog_run.sh artifacts/r4/350m.jsonl 900 8 artifacts/r4/350m_ckpt -- \
     python -m sow_tpu.train.pretrain \
     --model llama_350m --architecture linear --batch-size 256 --max-length 256 \
-    --num-training-steps 4000 --lr 0.001 --weight-decay 0.0 \
+    --num-training-steps 3000 --lr 0.001 --weight-decay 0.0 \
     --scheduler cosine --min-lr-ratio 0.03 \
     --data-dir "$ROOTS" --tokenizer-path "$TOK" \
     --token-cache-dir artifacts/tokcache \
@@ -65,14 +65,14 @@ streamB() {
   # TT-Adam trains a model (VERDICT item 2): matrix+factored default and
   # the single-decompose ema_mode=tt variant, on dense AND on SoW, 3 seeds
   # for the headline pair (baseline adamw curves: round-3 dense/sow*.jsonl)
-  for s in 0 1 2; do
+  for s in 42 1 2; do  # same seed trio as the round-3 adamw baselines
     run "ttadam_dense_s$s"  --architecture linear --optimizer ttadam --seed "$s"
     run "ttadam_sow_s$s"    $SOW --optimizer ttadam --seed "$s"
   done
   run ttadam_dense_ematt --architecture linear --optimizer ttadam --tt-ema-mode tt
   # factor warm-start ablation (VERDICT item 6): grad-subspace reinit,
   # 3 seeds + combined-knob runs
-  for s in 0 1 2; do
+  for s in 42 1 2; do
     run "warm_s$s" $SOW --sow-reinit grad --seed "$s"
   done
   run warm_r64      --architecture sow --rank 64 --sow-accumulation 200 --sow-lr 0.001 --sow-reinit grad
