@@ -20,7 +20,7 @@ mkdir -p artifacts/conv9m artifacts/r4
 
 streamA() {
   echo "=== [A1] llama-350m pretrain (spec target) ==="
-  bash benchmarks/watchdog_run.sh artifacts/r4/350m.jsonl 900 8 artifacts/r4/350m_ckpt -- \
+  bash benchmarks/watchdog_run.sh artifacts/r4/350m.jsonl 2000 8 artifacts/r4/350m_ckpt -- \
     python -m sow_tpu.train.pretrain \
     --model llama_350m --architecture linear --batch-size 256 --max-length 256 \
     --num-training-steps 3000 --lr 0.001 --weight-decay 0.0 \
@@ -33,7 +33,7 @@ streamA() {
     > artifacts/r4/350m.log 2>&1
   echo "A1 exit: $?"
   echo "=== [A2] llama-9m draft pretrain ==="
-  bash benchmarks/watchdog_run.sh artifacts/r4/draft9m.jsonl 600 5 artifacts/r4/draft9m_ckpt -- \
+  bash benchmarks/watchdog_run.sh artifacts/r4/draft9m.jsonl 1200 5 artifacts/r4/draft9m_ckpt -- \
     python -m sow_tpu.train.pretrain \
     --model llama_9m --architecture linear --batch-size 256 --max-length 256 \
     --num-training-steps 3000 --lr 0.001 --weight-decay 0.0 \
@@ -55,7 +55,7 @@ streamB() {
   run() {
     name=$1; shift
     echo "=== conv9m $name ==="
-    bash benchmarks/watchdog_run.sh "artifacts/conv9m/$name.jsonl" 600 3 - -- \
+    bash benchmarks/watchdog_run.sh "artifacts/conv9m/$name.jsonl" 1200 3 - -- \
       python -m sow_tpu.train.pretrain $COMMON "$@" \
       --metrics-path "artifacts/conv9m/$name.jsonl" \
       > "artifacts/conv9m/$name.log" 2>&1 \

@@ -34,6 +34,9 @@ timeout 1800 python benchmarks/serve_bench.py --model llama_1b --pool 16 \
 echo "burst exit: $?"
 
 echo "=== [3] W4 accuracy through the eval harness (trained 60m) ==="
+# 64-record ARC-format eval set from the offline corpus (fixture format;
+# harness-proof, ~chance score expected, engines must agree exactly)
+python /root/repo/benchmarks/make_eval_set.py artifacts/r4/arc_easy_eval.json 64
 # best available trained SoW checkpoint: prefer a finished mitigation arm
 CKPT=artifacts/flagship_r4/resetsched_ckpt
 ls "$CKPT"/*/ >/dev/null 2>&1 || CKPT=artifacts/flagship/sow_ckpt
@@ -41,7 +44,7 @@ for engine in batch server; do
   for beams in 1 4; do
     out="artifacts/r4/acc_${engine}_b${beams}.json"
     timeout 1800 python -m sow_tpu.eval.commonsense_eval \
-      --dataset tests/fixtures/arc_easy_test.json \
+      --dataset artifacts/r4/arc_easy_eval.json \
       --checkpoint "$CKPT" --checkpoint-arch sow --rank 50 \
       --base-model llama_60m --tokenizer "$TOK" \
       --batch-size 8 --max-new-tokens 24 --num-beams "$beams" \

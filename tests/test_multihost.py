@@ -40,15 +40,17 @@ def _losses(stdout: str) -> list:
 
 
 @pytest.mark.slow
-def test_two_process_training_matches_single_process():
+def test_two_process_training_matches_single_process(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
 
+    ckpt = str(tmp_path / "mh_ckpt")
     procs = []
     for pid in range(2):
         cmd = [
             sys.executable, "-m", "sow_tpu.train.pretrain", *ARGS,
+            "--save-dir", ckpt, "--save-every", "6",
             "--multihost-coordinator", f"127.0.0.1:{port}",
             "--multihost-num-processes", "2",
             "--multihost-process-id", str(pid),
@@ -66,6 +68,9 @@ def test_two_process_training_matches_single_process():
     assert len(multi_losses) == 6
     assert '"final_step": 6' in outs[0]
     assert _losses(outs[1]) == []  # non-primary stays silent
+    # checkpoint save path: collective process_allgather, process-0 write
+    saved = os.listdir(os.path.join(ckpt, "model_6"))
+    assert "model.safetensors" in saved and "training_state.json" in saved
 
     # single-process 8-device reference: identical trajectory (the mesh and
     # per-device shards are the same; only the controller count differs)
