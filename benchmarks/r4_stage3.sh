@@ -25,7 +25,7 @@ echo "spec exit: $?"
 
 echo "=== [2] online serving bench (1b) ==="
 timeout 3000 python benchmarks/serve_bench.py --model llama_1b --pool 16 \
-  --requests 64 --arrival-rate 2,5,10 --tiered \
+  --requests 64 --arrival-rate 2,5,10,25 --tiered \
   > artifacts/r4/serve_online.json 2> artifacts/r4/serve_online.log
 echo "online exit: $?"
 timeout 1800 python benchmarks/serve_bench.py --model llama_1b --pool 16 \
