@@ -38,6 +38,39 @@ def tail_losses(path: str, k: int = 3) -> list[float]:
     return vals[-k:]
 
 
+def run_telemetry(path: str) -> dict:
+    """Median steady-state tokens/s + device-memory probe (update 10)."""
+    tps, mem = [], None
+    try:
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if "tokens_per_sec" in rec and rec.get("step", 0) > 100:
+                    tps.append(rec["tokens_per_sec"])
+                if "memory" in rec:
+                    mem = rec["memory"]
+    except FileNotFoundError:
+        pass
+    out = {}
+    if tps:
+        out["tokens_per_sec"] = statistics.median(tps)
+    if isinstance(mem, dict):
+        for k in ("bytes_in_use", "peak_bytes_in_use"):
+            if k in mem:
+                out[k] = mem[k]
+    # the tunneled runtime reports no device memory_stats; the trainer's
+    # startup report (host-computed from the state tree) is authoritative
+    # for optimizer-state bytes
+    try:
+        with open(path[:-6] + ".log") as f:
+            for line in f:
+                if line.startswith("optimizer state:"):
+                    out["opt_state_mib"] = float(line.split(":")[1].split("MiB")[0])
+    except (FileNotFoundError, ValueError):
+        pass
+    return out
+
+
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "artifacts/conv9m"
     runs = {}
@@ -56,10 +89,17 @@ def main():
         return vals
 
     dense, sow = seeded("dense"), seeded("sow")
-    print("| run | final loss (last-3 mean) |")
-    print("|---|---|")
+    telem = {
+        name: run_telemetry(os.path.join(out, name + ".jsonl"))
+        for name in runs
+    }
+    print("| run | final loss (last-3 mean) | median tok/s | opt state MiB |")
+    print("|---|---|---|---|")
     for name in sorted(runs):
-        print(f"| {name} | {runs[name]:.4f} |")
+        t = telem.get(name, {})
+        tps = f"{t['tokens_per_sec']:,.0f}" if "tokens_per_sec" in t else "-"
+        opt = f"{t['opt_state_mib']:,.1f}" if "opt_state_mib" in t else "-"
+        print(f"| {name} | {runs[name]:.4f} | {tps} | {opt} |")
     if dense and sow:
         md, ms = statistics.mean(dense), statistics.mean(sow)
         sd = statistics.pstdev(dense + sow) or 1e-9
