@@ -4,9 +4,13 @@
         --rank 50 --sow-accumulation 5000 --num-training-steps 25000 \
         --lr 0.01 --sow-lr 0.001 --batch-size 128 --max-length 256
 
-One SPMD process drives the whole mesh (vs the reference's one-process-per-
-GPU torchrun). Periodic eval to a token budget, checkpoint/resume, tokens/sec
-telemetry, and startup memory report all mirror ``simple_train.py``.
+One SPMD process drives the whole mesh by default (vs the reference's
+one-process-per-GPU torchrun); ``--multihost-*`` joins N host processes
+into one global mesh via ``jax.distributed`` (see
+``sow_tpu/parallel/multihost.py``). Periodic eval to a token budget,
+checkpoint/resume, tokens/sec telemetry, and startup memory report all
+mirror ``simple_train.py``. Multihost scope: training + eval + save;
+``--continue-from`` resume in multihost mode is not yet supported.
 """
 
 from __future__ import annotations
