@@ -200,3 +200,34 @@ class TestMeshEvaluate:
         # params stayed sharded through evaluation
         layer = trainer.params["layers"]["0"]["intermediate"]["dense"]
         assert not layer.down.sharding.is_fully_replicated
+
+
+class TestLocalClsTask:
+    """Real-text pysrc classification task (the egress-free GLUE stand-in
+    with a non-degenerate objective; round 4)."""
+
+    def test_batches_shapes_and_both_classes(self):
+        from sow_tpu.data.local_text import load_local_tokenizer
+        from sow_tpu.train.glue import load_local_cls_batches
+
+        tok = load_local_tokenizer("artifacts/bpe32k.json")
+        roots = ["sow_tpu", "docs"]
+        batches = list(load_local_cls_batches(
+            tok, roots, "train", batch_size=8, max_length=16,
+            seed=0, n_batches=3,
+        ))
+        assert len(batches) == 3
+        labels = np.concatenate([np.asarray(b["labels"]) for b in batches])
+        for b in batches:
+            assert b["input_ids"].shape == (8, 16)
+            assert b["attention_mask"].shape == (8, 16)
+            assert int(b["input_ids"].max()) < tok.vocab_size
+        assert 0 < labels.sum() < len(labels)  # both classes present
+
+    def test_missing_class_raises(self):
+        from sow_tpu.data.local_text import load_local_tokenizer
+        from sow_tpu.train.glue import load_local_cls_batches
+
+        tok = load_local_tokenizer("artifacts/bpe32k.json")
+        with pytest.raises(ValueError):
+            next(load_local_cls_batches(tok, ["docs"], "train", 4, 16))
