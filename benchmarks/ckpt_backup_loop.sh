@@ -24,7 +24,7 @@ latest_ckpt() { # $1 = *_ckpt dir -> newest model_N subdir (or empty)
 }
 
 while true; do
-  for ckdir in artifacts/flagship/*_ckpt artifacts/conv9m/*_ckpt; do
+  for ckdir in artifacts/flagship/*_ckpt artifacts/conv9m/*_ckpt artifacts/flagship_r4/*_ckpt artifacts/r4/*_ckpt; do
     [ -d "$ckdir" ] || continue
     src=$(latest_ckpt "$ckdir")
     [ -n "$src" ] || continue
