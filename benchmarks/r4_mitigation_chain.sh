@@ -62,7 +62,10 @@ for arm in nolatefold resetsched; do
     extra="--reset-scheduler"
   fi
   echo "=== r4 mitigation arm $arm (parallel) ===" >&2
-  bash benchmarks/watchdog_run.sh "$OUT/$arm.jsonl" 900 8 "$OUT/${arm}_ckpt" -- \
+  # 2400s window: cold compile measured at 13-14 min on this host, and the
+  # eval+save pause at the 2000-step cadence ran 920s when two streams
+  # share the chip — 900s here is what killed the resetsched arm twice
+  bash benchmarks/watchdog_run.sh "$OUT/$arm.jsonl" 2400 8 "$OUT/${arm}_ckpt" -- \
     python -m sow_tpu.train.pretrain $COMMON --architecture sow $extra \
     --continue-from "$OUT/${arm}_ckpt" \
     --metrics-path "$OUT/$arm.jsonl" --save-dir "$OUT/${arm}_ckpt" \

@@ -37,9 +37,14 @@ echo "=== [3] W4 accuracy through the eval harness (trained 60m) ==="
 # 64-record ARC-format eval set from the offline corpus (fixture format;
 # harness-proof, ~chance score expected, engines must agree exactly)
 python /root/repo/benchmarks/make_eval_set.py artifacts/r4/arc_easy_eval.json 64
-# best available trained SoW checkpoint: prefer a finished mitigation arm
-CKPT=artifacts/flagship_r4/resetsched_ckpt
-ls "$CKPT"/*/ >/dev/null 2>&1 || CKPT=artifacts/flagship/sow_ckpt
+# best available trained SoW checkpoint: the mitigation arm (or round-3
+# flagship) whose latest COMPLETE checkpoint has the highest step —
+# completeness-validated so a wedged arm's partial dir can't be selected
+CKPT=$(python benchmarks/pick_ckpt.py \
+  artifacts/flagship_r4/resetsched_ckpt \
+  artifacts/flagship_r4/nolatefold_ckpt \
+  artifacts/flagship/sow_ckpt)
+echo "W4 accuracy base checkpoint: $CKPT"
 for engine in batch server; do
   for beams in 1 4; do
     out="artifacts/r4/acc_${engine}_b${beams}.json"

@@ -17,8 +17,13 @@ TOK=artifacts/bpe32k.json
 OUT=artifacts/r4
 mkdir -p "$OUT"
 
-BASE=artifacts/flagship_r4/resetsched_ckpt
-ls "$BASE"/*/ >/dev/null 2>&1 || BASE=artifacts/flagship/sow_ckpt
+# completeness-validated pick (see pick_ckpt.py; a wedged arm's partial
+# dir must not be selected — VERDICT r4 weak #4)
+BASE=$(python benchmarks/pick_ckpt.py \
+  artifacts/flagship_r4/resetsched_ckpt \
+  artifacts/flagship_r4/nolatefold_ckpt \
+  artifacts/flagship/sow_ckpt)
+echo "GLUE base checkpoint: $BASE"
 
 COMMON="--workload glue --glue-model llama_60m --glue-data local --task pysrc
   --tokenizer-path $TOK --data-dir $ROOTS

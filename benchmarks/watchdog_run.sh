@@ -10,16 +10,27 @@
 # Usage:
 #   watchdog_run.sh PROGRESS_FILE STALE_SECS MAX_RETRIES RESUME_DIR -- cmd...
 #
-# Runs `cmd...`; if PROGRESS_FILE's mtime goes stale for STALE_SECS while
-# the command is alive, kills the process group and reruns with
-# `--continue-from RESUME_DIR` appended (the pretrain CLI resumes params,
-# optimizer state, and step count from the latest checkpoint there).
+# Runs `cmd...`; if BOTH PROGRESS_FILE's and PROGRESS_FILE.hb's mtimes go
+# stale for STALE_SECS while the command is alive, kills the process group
+# and reruns with `--continue-from RESUME_DIR` appended (the pretrain CLI
+# resumes params, optimizer state, and step count from the latest COMPLETE
+# checkpoint there, falling back past broken dirs).
+#
+# PROGRESS_FILE.hb is the trainer's liveness heartbeat
+# (sow_tpu/utils/heartbeat.py): touched during checkpoint saves, evals,
+# and XLA (re)compiles — the long legitimate pauses that round 4's
+# mtime-only watchdog misread as hangs (it SIGKILLed the flagship
+# resetsched arm mid-save at step 12000, twice). Beats are capped
+# per-scope, so a tunnel wedge *inside* a save still gets killed, just on
+# a longer fuse. On kill, the last heartbeat line is logged so the post-
+# mortem can see what the trainer was doing.
 # RESUME_DIR=- disables the resume flag (plain rerun). Exits with the
 # command's final status.
 set -u
 PROGRESS=$1; STALE=$2; RETRIES=$3; RESUME=$4; shift 4
 [ "$1" = "--" ] && shift
 POLL=${WD_POLL:-30}   # poll interval; overridable so tests run fast
+HB="$PROGRESS.hb"
 
 attempt=0
 extra=()
@@ -36,15 +47,19 @@ while :; do
     state=$(awk '{print $3}' "/proc/$pid/stat" 2>/dev/null)
     [ -z "$state" ] || [ "$state" = "Z" ] && break
     now=$(date +%s)
-    if [ -f "$PROGRESS" ]; then
-      mt=$(stat -c %Y "$PROGRESS")
-    else
-      mt=$start
-    fi
-    # also give a fresh process STALE secs to produce its first write
-    ref=$(( mt > start ? mt : start ))
+    mt=$start
+    for f in "$PROGRESS" "$HB"; do
+      if [ -f "$f" ]; then
+        m=$(stat -c %Y "$f")
+        [ "$m" -gt "$mt" ] && mt=$m
+      fi
+    done
+    # ref covers the fresh-process grace too: STALE secs to first write
+    ref=$mt
     if [ $(( now - ref )) -gt "$STALE" ]; then
-      echo "[watchdog] no progress on $PROGRESS for $((now - ref))s — killing pg $pid" >&2
+      last_hb="(no heartbeat file)"
+      [ -f "$HB" ] && last_hb="last heartbeat: $(cat "$HB" 2>/dev/null)"
+      echo "[watchdog] no progress on $PROGRESS or .hb for $((now - ref))s — killing pg $pid; $last_hb" >&2
       kill -9 -- -"$pid" 2>/dev/null
       wait "$pid" 2>/dev/null
       break

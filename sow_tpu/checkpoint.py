@@ -154,6 +154,11 @@ def _sow_meta(tree) -> dict[str, dict]:
     return meta
 
 
+# A checkpoint dir is COMPLETE iff both of these exist. optimizer.safetensors
+# is optional (eval-only exports omit it), so it is not required here.
+REQUIRED_FILES = ("model.safetensors", "training_state.json")
+
+
 def save_checkpoint(
     directory: str,
     step: int,
@@ -162,16 +167,33 @@ def save_checkpoint(
     config: Optional[dict] = None,
     tokens_seen: int = 0,
 ) -> str:
-    """Write ``{directory}/model_{step}/`` (rank-0-style single writer)."""
+    """Write ``{directory}/model_{step}/`` (rank-0-style single writer).
+
+    CRASH-SAFE: everything is written into ``model_{step}.tmp`` and
+    atomically renamed into place only once complete, so a kill mid-save
+    (the exact failure that wedged the round-4 resetsched arm: a watchdog
+    SIGKILL during the step-12000 save left an empty ``model_12000/`` that
+    every resume attempt then died on) can never produce a directory that
+    :func:`latest_checkpoint` would select. The reference's saver
+    (``simple_train.py:167-203``) writes in place and has the same hole —
+    this repo must exceed it because its own watchdog is the thing doing
+    the killing.
+    """
     from safetensors.numpy import save_file
 
-    out_dir = os.path.join(directory, f"model_{step}")
-    os.makedirs(out_dir, exist_ok=True)
+    final_dir = os.path.join(directory, f"model_{step}")
+    tmp_dir = final_dir + ".tmp"
+    if os.path.isdir(tmp_dir):  # debris from a previous kill-mid-save
+        import shutil
 
-    save_file(_flatten_with_paths(params), os.path.join(out_dir, "model.safetensors"))
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
+
+    save_file(_flatten_with_paths(params), os.path.join(tmp_dir, "model.safetensors"))
+    _crash_hook(step, "after_model")  # test-only fault injection (no-op)
     if opt_state is not None:
         save_file(
-            _flatten_with_paths(opt_state), os.path.join(out_dir, "optimizer.safetensors")
+            _flatten_with_paths(opt_state), os.path.join(tmp_dir, "optimizer.safetensors")
         )
     state = {
         "update_step": step,
@@ -179,21 +201,60 @@ def save_checkpoint(
         "sow_meta": _sow_meta(params),
         "config": config or {},
     }
-    with open(os.path.join(out_dir, "training_state.json"), "w") as f:
+    with open(os.path.join(tmp_dir, "training_state.json"), "w") as f:
         json.dump(state, f, indent=2)
-    return out_dir
+        f.flush()
+        os.fsync(f.fileno())
+
+    if os.path.isdir(final_dir):  # overwrite of an (old, possibly broken) dir
+        import shutil
+
+        shutil.rmtree(final_dir)
+    os.rename(tmp_dir, final_dir)  # atomic publish
+    return final_dir
+
+
+def _crash_hook(step: int, phase: str) -> None:
+    """Fault injection for the crash-safety tests: if
+    ``SOW_CKPT_CRASH_AT_STEP`` matches ``step``, hard-kill the process at
+    this point of the save (simulating the watchdog's SIGKILL-mid-save)."""
+    at = os.environ.get("SOW_CKPT_CRASH_AT_STEP")
+    if at is not None and int(at) == step:
+        os._exit(117)
+
+
+def is_complete_checkpoint(path: str) -> bool:
+    """True iff ``path`` holds every file a resume needs (non-empty)."""
+    return all(
+        os.path.isfile(os.path.join(path, f)) and os.path.getsize(os.path.join(path, f)) > 0
+        for f in REQUIRED_FILES
+    )
+
+
+def complete_checkpoints(directory: str) -> list[str]:
+    """All COMPLETE ``model_{step}`` subdirs, newest first.
+
+    Replaces blind highest-number selection (the round-4 failure mode:
+    ``latest_checkpoint`` happily returned an empty ``model_12000/`` nine
+    restarts in a row while intact ``model_11000/`` sat next to it)."""
+    if not os.path.isdir(directory):
+        return []
+    found = []
+    for name in os.listdir(directory):
+        m = re.fullmatch(r"model_(\d+)", name)
+        if not m:
+            continue
+        path = os.path.join(directory, name)
+        if is_complete_checkpoint(path):
+            found.append((int(m.group(1)), path))
+    return [p for _, p in sorted(found, reverse=True)]
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
-    """Latest ``model_{step}`` subdir (ref ``simple_train.py:242-261``)."""
-    if not os.path.isdir(directory):
-        return None
-    best, best_step = None, -1
-    for name in os.listdir(directory):
-        m = re.fullmatch(r"model_(\d+)", name)
-        if m and int(m.group(1)) > best_step:
-            best, best_step = os.path.join(directory, name), int(m.group(1))
-    return best
+    """Latest COMPLETE ``model_{step}`` subdir (ref ``simple_train.py:242-261``,
+    hardened: incomplete/partial dirs are skipped, see :func:`complete_checkpoints`)."""
+    ckpts = complete_checkpoints(directory)
+    return ckpts[0] if ckpts else None
 
 
 def _normalize_keystr(keystr_path: str) -> str:
@@ -304,9 +365,15 @@ def restore_params(template: Any, ckpt_dir: str, verify: bool = True) -> tuple[A
     return jax.tree_util.tree_unflatten(treedef, leaves), state
 
 
-def restore_opt_state(template: Any, ckpt_dir: str) -> Any:
+def restore_opt_state(template: Any, ckpt_dir: str, upload: bool = True) -> Any:
     """Restore optimizer state into a structurally-matching template
-    (build it with ``opt.init`` on the restored params first)."""
+    (build it with ``opt.init`` on the restored params first).
+
+    ``upload=False`` keeps matched leaves as host numpy arrays (no device
+    transfer, no checksum pass) — the multihost resume path, where every
+    process restores to host and the caller re-places shards globally via
+    ``multihost.tree_put_sharded``.
+    """
     from safetensors.numpy import load_file
 
     path = os.path.join(ckpt_dir, "optimizer.safetensors")
@@ -322,9 +389,14 @@ def restore_opt_state(template: Any, ckpt_dir: str) -> Any:
         key = jax.tree_util.keystr(p)
         paths.append(key)
         if key in arrays and tuple(arrays[key].shape) == tuple(leaf.shape):
-            leaves.append(jnp.asarray(arrays[key], leaf.dtype))
+            if upload:
+                leaves.append(jnp.asarray(arrays[key], leaf.dtype))
+            else:
+                leaves.append(np.asarray(arrays[key]).astype(leaf.dtype))
             refs.append(
-                arrays[key] if str(arrays[key].dtype) == str(leaf.dtype) else None
+                arrays[key]
+                if upload and str(arrays[key].dtype) == str(leaf.dtype)
+                else None
             )
         else:
             # 0-d leaves are frozen-group placeholders / counters that may

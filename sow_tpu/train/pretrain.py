@@ -9,8 +9,12 @@ one-process-per-GPU torchrun); ``--multihost-*`` joins N host processes
 into one global mesh via ``jax.distributed`` (see
 ``sow_tpu/parallel/multihost.py``). Periodic eval to a token budget,
 checkpoint/resume, tokens/sec telemetry, and startup memory report all
-mirror ``simple_train.py``. Multihost scope: training + eval + save;
-``--continue-from`` resume in multihost mode is not yet supported.
+mirror ``simple_train.py``. Multihost scope: training + eval + save +
+``--continue-from`` resume (every process restores the same checkpoint
+from a shared filesystem — the reference's per-rank torchrun resume,
+``simple_train.py:537-564``; ``--auto-restart`` is the one multihost
+exclusion, since an in-process restart cannot re-rendezvous the process
+set — relaunch the fleet with ``--continue-from`` instead).
 """
 
 from __future__ import annotations
@@ -25,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sow_tpu.checkpoint import latest_checkpoint, restore_opt_state, restore_params, save_checkpoint
+from sow_tpu.checkpoint import complete_checkpoints, restore_opt_state, restore_params, save_checkpoint
 from sow_tpu.data.c4 import make_pretrain_stream
 from sow_tpu.train.trainer import TrainConfig, Trainer
 from sow_tpu.utils.memory import format_memory_report
@@ -94,6 +98,12 @@ def parse_args(argv=None) -> argparse.Namespace:
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.multihost_coordinator is not None and args.auto_restart > 0:
+        raise ValueError(
+            "--auto-restart is unsupported with --multihost-*: an in-process "
+            "restart cannot re-rendezvous the distributed process set; "
+            "relaunch every process with --continue-from instead"
+        )
     if args.multihost_coordinator is not None:
         from sow_tpu.parallel import multihost
 
@@ -118,6 +128,47 @@ def main(argv=None):
             args.continue_from = args.save_dir
 
 
+def _try_restore(trainer, ckpt: str, use_pp: bool, multi: bool) -> dict:
+    """Restore params + optimizer state from one checkpoint dir.
+
+    Commits to the trainer only after EVERY piece has loaded, so a failure
+    partway (truncated file, transfer corruption) leaves the trainer
+    untouched for the next-older fallback candidate.
+    """
+    if use_pp:
+        # params AND moments persist in the standard layout (interop
+        # with the non-pipelined trainer both directions)
+        std, state = restore_params(trainer.standard_params, ckpt)
+        opt = restore_opt_state(trainer.standard_opt_state, ckpt)
+        trainer.load_standard(std)
+        trainer.load_standard_opt_state(opt)
+    else:
+        params, state = restore_params(trainer.params, ckpt)
+        params = trainer._device_put_params(params)
+        trainer._build_optimizer()
+        # jitted + sharded init (same as Trainer.__init__): an
+        # unjitted init would materialize full optimizer state
+        # replicated on every device at the restore-time memory peak.
+        opt_sh = trainer._opt_shardings(params)
+        fresh = jax.jit(trainer.opt.init, out_shardings=opt_sh)(params)
+        if multi:
+            # multihost: restored host leaves cannot be device_put onto a
+            # sharding spanning non-addressable devices; gather the fresh
+            # init to host, fill from the file, re-place shard-wise
+            # (every process executes this identically).
+            from sow_tpu.parallel import multihost
+
+            fresh_host = multihost.gather_to_host(fresh)
+            restored = restore_opt_state(fresh_host, ckpt, upload=False)
+            opt_state = multihost.tree_put_sharded(restored, opt_sh)
+        else:
+            opt_state = jax.device_put(restore_opt_state(fresh, ckpt), opt_sh)
+        trainer.params, trainer.opt_state = params, opt_state
+    trainer.update_step = state["update_step"]
+    trainer.tokens_seen = state.get("tokens_seen", 0)
+    return state
+
+
 def _run(args):
     cfg_kwargs = {f.name: getattr(args, f.name) for f in dataclasses.fields(TrainConfig)}
     cfg = TrainConfig(**cfg_kwargs)
@@ -133,32 +184,23 @@ def _run(args):
     print(f"mesh: {trainer.mesh.shape}")
     print(format_memory_report(trainer.params, trainer.opt_state))
 
+    multi = jax.process_count() > 1
+
     start_step = 0
     if args.continue_from:
-        ckpt = latest_checkpoint(args.continue_from)
-        if ckpt:
-            if use_pp:
-                # params AND moments persist in the standard layout (interop
-                # with the non-pipelined trainer both directions)
-                std, state = restore_params(trainer.standard_params, ckpt)
-                trainer.load_standard(std)
-                trainer.load_standard_opt_state(
-                    restore_opt_state(trainer.standard_opt_state, ckpt)
-                )
-            else:
-                trainer.params, state = restore_params(trainer.params, ckpt)
-                trainer.params = trainer._device_put_params(trainer.params)
-                trainer._build_optimizer()
-                # jitted + sharded init (same as Trainer.__init__): an
-                # unjitted init would materialize full optimizer state
-                # replicated on every device at the restore-time memory peak.
-                opt_sh = trainer._opt_shardings(trainer.params)
-                fresh = jax.jit(trainer.opt.init, out_shardings=opt_sh)(trainer.params)
-                trainer.opt_state = jax.device_put(restore_opt_state(fresh, ckpt), opt_sh)
+        # newest-first over COMPLETE dirs only, falling back on restore
+        # failure — the round-4 resetsched arm died 27 times in a row
+        # retrying one partial dir while an intact checkpoint sat beside it.
+        for ckpt in complete_checkpoints(args.continue_from):
+            try:
+                state = _try_restore(trainer, ckpt, use_pp, multi)
+            except Exception as e:  # noqa: BLE001 — any broken ckpt falls back
+                print(f"[resume-fallback] restore from {ckpt} failed "
+                      f"({type(e).__name__}: {e}); trying next-newest")
+                continue
             start_step = state["update_step"]
-            trainer.update_step = start_step
-            trainer.tokens_seen = state.get("tokens_seen", 0)
             print(f"resumed from {ckpt} at step {start_step}")
+            break
 
     def stream(split: str, batch_size: int, seed: int):
         if args.data_dir:
@@ -183,27 +225,34 @@ def _run(args):
             seed=seed, synthetic=args.synthetic_data, split=split,
         )
 
-    multi = jax.process_count() > 1
     prim = not multi or jax.process_index() == 0
     if multi and args.prefetch < 1:
         raise ValueError("--multihost-* requires --prefetch >= 1 (the "
                          "prefetcher owns the per-process shard upload)")
 
-    def do_save(step):
-        save_params = trainer.standard_params if use_pp else trainer.params
-        save_opt = trainer.standard_opt_state if use_pp else trainer.opt_state
-        if multi:
-            from sow_tpu.parallel import multihost
+    from sow_tpu.utils.heartbeat import Heartbeat
 
-            # collective: every process gathers, only process 0 writes
-            save_params = multihost.gather_to_host(save_params)
-            save_opt = multihost.gather_to_host(save_opt)
-            if not prim:
-                return
-        save_checkpoint(
-            args.save_dir, step, save_params, save_opt,
-            config=dataclasses.asdict(cfg), tokens_seen=trainer.tokens_seen,
-        )
+    # liveness beats during saves/evals/compiles so the external watchdog
+    # (benchmarks/watchdog_run.sh) can tell a long legitimate pause from a
+    # wedged tunnel — see utils/heartbeat.py for the round-4 postmortem
+    hb = Heartbeat((args.metrics_path + ".hb") if (args.metrics_path and prim) else None)
+
+    def do_save(step):
+        with hb.scope(f"save@{step}"):
+            save_params = trainer.standard_params if use_pp else trainer.params
+            save_opt = trainer.standard_opt_state if use_pp else trainer.opt_state
+            if multi:
+                from sow_tpu.parallel import multihost
+
+                # collective: every process gathers, only process 0 writes
+                save_params = multihost.gather_to_host(save_params)
+                save_opt = multihost.gather_to_host(save_opt)
+                if not prim:
+                    return
+            save_checkpoint(
+                args.save_dir, step, save_params, save_opt,
+                config=dataclasses.asdict(cfg), tokens_seen=trainer.tokens_seen,
+            )
 
     data = stream("train", cfg.batch_size * cfg.gradient_accumulation, cfg.seed)
     K = args.steps_per_dispatch
@@ -256,7 +305,7 @@ def _run(args):
     t_log = time.perf_counter()
     tokens_at_log = trainer.tokens_seen
     profiling = False
-    for _ in range(start_step, cfg.num_training_steps, K):
+    for it in range(start_step, cfg.num_training_steps, K):
         batch = next(data)
         step_next = trainer.update_step + 1
         if args.profile_dir and step_next <= 10 < step_next + K and not profiling:
@@ -266,9 +315,28 @@ def _run(args):
             _prof.start_trace(args.profile_dir)
             profiling = True
         step_fn = trainer.step_many if K > 1 else trainer.step
-        metrics = step_fn(
-            jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"])
+        # (re)compile boundaries: the first dispatch after (re)start, and
+        # the dispatch after a SoW fold (virtual_rank growth changes the
+        # jitted shapes). Measured 13-14 min cold on this host — beat the
+        # heartbeat through them so the watchdog doesn't misread a compile
+        # as a hang.
+        fold_before = (
+            cfg.architecture in ("sow",) and cfg.sow_accumulation > 0
+            and step_next > 1 and (step_next - 1) % cfg.sow_accumulation == 0
         )
+        compile_scope = (
+            hb.scope(f"compile@{step_next}") if (it == start_step or fold_before)
+            else None
+        )
+        if compile_scope is not None:
+            with compile_scope:
+                metrics = step_fn(
+                    jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"])
+                )
+        else:
+            metrics = step_fn(
+                jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"])
+            )
         step = trainer.update_step
         if args.profile_dir and profiling and step >= 15:
             import jax.profiler as _prof
@@ -309,7 +377,8 @@ def _run(args):
 
         if args.eval_every and step % args.eval_every == 0:
             eval_data = stream("validation", cfg.batch_size, cfg.seed + 1)
-            out = trainer.evaluate(eval_data, max_tokens=args.eval_tokens)
+            with hb.scope(f"eval@{step}"):
+                out = trainer.evaluate(eval_data, max_tokens=args.eval_tokens)
             if prim:
                 print(f"eval @ {step}: loss {out['eval_loss']:.4f} ppl {out['perplexity']:.2f}")
                 logger.log(step, eval_loss=out["eval_loss"], perplexity=out["perplexity"])
@@ -320,10 +389,11 @@ def _run(args):
     if args.eval_every and trainer.update_step % args.eval_every != 0:
         # the 25k-step flagship (readme.md:6-25) ends off the eval cadence;
         # always record a final held-out perplexity for the results table
-        out = trainer.evaluate(
-            stream("validation", cfg.batch_size, cfg.seed + 1),
-            max_tokens=args.eval_tokens,
-        )
+        with hb.scope(f"eval@{trainer.update_step}"):
+            out = trainer.evaluate(
+                stream("validation", cfg.batch_size, cfg.seed + 1),
+                max_tokens=args.eval_tokens,
+            )
         if prim:
             logger.log(trainer.update_step, eval_loss=out["eval_loss"],
                        perplexity=out["perplexity"])
