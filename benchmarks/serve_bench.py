@@ -205,7 +205,8 @@ def run_server_online(params, cfg, reqs, arrivals, pool, cache_dtype, max_len,
     }
 
 
-def run_fixed_batch_online(params, cfg, reqs, arrivals, pool, cache_dtype):
+def run_fixed_batch_online(params, cfg, reqs, arrivals, pool, cache_dtype,
+                           eos=None):
     """Reference-style engine under online arrival: the host accumulates
     arrivals and launches a full-pool batch as soon as one is available
     (or when no arrivals remain). Per-request latency = batch END - its
@@ -234,13 +235,25 @@ def run_fixed_batch_online(params, cfg, reqs, arrivals, pool, cache_dtype):
         ids, mask = left_pad(prompts, 0)
         out = greedy_generate(
             params, jnp.asarray(ids), jnp.asarray(mask), cfg,
-            max_new_tokens=budget, cache_dtype=cache_dtype,
+            max_new_tokens=budget, cache_dtype=cache_dtype, eos_token_id=eos,
         )
-        jax.block_until_ready(out)
+        out_np = np.asarray(jax.block_until_ready(out))
         tend = time.perf_counter() - t0
-        for j in chunk:
+        for row, j in enumerate(chunk):
             lat.append(tend - arrivals[j])
-            n_tok += reqs[j][1]
+            # count tokens actually decoded for THIS request (its own
+            # budget, minus any eos padding) — the continuous engine counts
+            # emitted tokens, so counting the nominal budget here would
+            # bias the tokens_per_s comparison whenever generation stops
+            # early
+            toks = out_np[row, : reqs[j][1]]
+            n = len(toks)
+            if eos is not None:
+                while n > 0 and toks[n - 1] == eos:
+                    n -= 1
+                if n < len(toks):
+                    n += 1  # the terminating eos itself was emitted
+            n_tok += n
     makespan = time.perf_counter() - t0
     return {
         "generated_tokens": n_tok,

@@ -365,14 +365,54 @@ def restore_params(template: Any, ckpt_dir: str, verify: bool = True) -> tuple[A
     return jax.tree_util.tree_unflatten(treedef, leaves), state
 
 
-def restore_opt_state(template: Any, ckpt_dir: str, upload: bool = True) -> Any:
-    """Restore optimizer state into a structurally-matching template
-    (build it with ``opt.init`` on the restored params first).
+def restore_opt_state_sharded(template: Any, ckpt_dir: str, shardings: Any) -> Any:
+    """Multihost-safe optimizer-state restore: leaves found in the file are
+    re-placed shard-wise from host (``multihost.put_sharded`` uploads only
+    this process's addressable shards), leaves absent from the file keep the
+    ``template``'s already-correctly-sharded global arrays. No cross-process
+    gather is needed — every process reads the same file.
 
-    ``upload=False`` keeps matched leaves as host numpy arrays (no device
-    transfer, no checksum pass) — the multihost resume path, where every
-    process restores to host and the caller re-places shards globally via
-    ``multihost.tree_put_sharded``.
+    ``template`` is the jitted+sharded fresh ``opt.init`` output and
+    ``shardings`` its sharding tree (same treedef).
+    """
+    from safetensors.numpy import load_file
+
+    from sow_tpu.parallel.multihost import put_sharded
+
+    path = os.path.join(ckpt_dir, "optimizer.safetensors")
+    if not os.path.exists(path):
+        return template
+    arrays = load_file(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    sh_leaves = jax.tree_util.tree_leaves(shardings)
+    assert len(flat) == len(sh_leaves), "template/sharding treedef mismatch"
+    leaves, unmatched = [], []
+    for (p, leaf), sh in zip(flat, sh_leaves):
+        key = jax.tree_util.keystr(p)
+        if key in arrays and tuple(arrays[key].shape) == tuple(leaf.shape):
+            host = np.asarray(arrays[key]).astype(leaf.dtype)
+            leaves.append(put_sharded(host, sh))
+        else:
+            if getattr(leaf, "ndim", 0) > 0:
+                unmatched.append(key)
+            leaves.append(leaf)
+    if unmatched:
+        import warnings
+
+        warnings.warn(
+            f"restore_opt_state_sharded: {len(unmatched)}/{len(flat)} leaves "
+            f"did not match the checkpoint (kept fresh init) — first few: "
+            f"{unmatched[:5]}.",
+            stacklevel=2,
+        )
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def restore_opt_state(template: Any, ckpt_dir: str) -> Any:
+    """Restore optimizer state into a structurally-matching template
+    (build it with ``opt.init`` on the restored params first). Single-
+    process path with transfer-checksum verification; multihost goes
+    through :func:`restore_opt_state_sharded`.
     """
     from safetensors.numpy import load_file
 
@@ -389,14 +429,9 @@ def restore_opt_state(template: Any, ckpt_dir: str, upload: bool = True) -> Any:
         key = jax.tree_util.keystr(p)
         paths.append(key)
         if key in arrays and tuple(arrays[key].shape) == tuple(leaf.shape):
-            if upload:
-                leaves.append(jnp.asarray(arrays[key], leaf.dtype))
-            else:
-                leaves.append(np.asarray(arrays[key]).astype(leaf.dtype))
+            leaves.append(jnp.asarray(arrays[key], leaf.dtype))
             refs.append(
-                arrays[key]
-                if upload and str(arrays[key].dtype) == str(leaf.dtype)
-                else None
+                arrays[key] if str(arrays[key].dtype) == str(leaf.dtype) else None
             )
         else:
             # 0-d leaves are frozen-group placeholders / counters that may

@@ -269,27 +269,27 @@ def main(argv=None):
                    help="tensor-parallel serving over this many chips (engine=server)")
     args = p.parse_args(argv)
 
-    model_cfg = get_config(args.base_model)
-    params = llama_lib.init_params(jax.random.PRNGKey(0), model_cfg)
     if args.checkpoint_arch == "finetune":
+        model_cfg = get_config(args.base_model)
+        params = llama_lib.init_params(jax.random.PRNGKey(0), model_cfg)
         params = prepare_sow(
             params,
             SoWConfig(target_modules=llama_lib.LLAMA_FINETUNE_TARGET_MODULES, rank=args.rank, decompose="keep"),
             jax.random.PRNGKey(1),
         )
-    elif args.checkpoint_arch == "sow":
-        # pretrain-template checkpoint (train/pretrain.py --architecture sow):
-        # blank factors over the pretrain target set, folded to dense for eval
-        params = prepare_sow(
-            params,
-            SoWConfig(target_modules=llama_lib.LLAMA_TARGET_MODULES,
-                      rank=args.rank, decompose=None),
-            jax.random.PRNGKey(1),
+        ckpt = latest_checkpoint(args.checkpoint) or args.checkpoint
+        params, _ = restore_params(params, ckpt)
+    else:
+        # pretrain checkpoints ('linear'/'sow') go through the ONE shared
+        # loader (models/interop.load_pretrain_checkpoint): template
+        # rebuild, restore, SoW fold-to-dense, bf16 cast — keeping dtype
+        # semantics identical across this CLI, serving, and the spec/GLUE
+        # consumers instead of re-implementing the load here
+        from sow_tpu.models.interop import load_pretrain_checkpoint
+
+        params, model_cfg = load_pretrain_checkpoint(
+            args.base_model, args.checkpoint_arch, args.checkpoint, rank=args.rank
         )
-    ckpt = latest_checkpoint(args.checkpoint) or args.checkpoint
-    params, _ = restore_params(params, ckpt)
-    if args.checkpoint_arch == "sow":
-        params = llama_lib.merge_sow_to_dense(params)
 
     # "byte" -> builtin (offline); a ``.json`` path -> local BPE
     # (data/local_text.py, the flagship tokenizer); an explicit HF name must

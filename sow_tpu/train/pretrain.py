@@ -145,25 +145,36 @@ def _try_restore(trainer, ckpt: str, use_pp: bool, multi: bool) -> dict:
     else:
         params, state = restore_params(trainer.params, ckpt)
         params = trainer._device_put_params(params)
-        trainer._build_optimizer()
-        # jitted + sharded init (same as Trainer.__init__): an
-        # unjitted init would materialize full optimizer state
-        # replicated on every device at the restore-time memory peak.
-        opt_sh = trainer._opt_shardings(params)
-        fresh = jax.jit(trainer.opt.init, out_shardings=opt_sh)(params)
-        if multi:
-            # multihost: restored host leaves cannot be device_put onto a
-            # sharding spanning non-addressable devices; gather the fresh
-            # init to host, fill from the file, re-place shard-wise
-            # (every process executes this identically).
-            from sow_tpu.parallel import multihost
+        # the optimizer's param-group labels and sharding trees must be
+        # built from the RESTORED structure (acc buffers exist after the
+        # first fold; the fresh template has acc_down=None holes), so
+        # commit params first — rolled back below if the rest fails
+        old_params = trainer.params
+        trainer.params = params
+        try:
+            trainer._build_optimizer()
+            # jitted + sharded init (same as Trainer.__init__): an
+            # unjitted init would materialize full optimizer state
+            # replicated on every device at the restore-time memory peak.
+            opt_sh = trainer._opt_shardings(params)
+            fresh = jax.jit(trainer.opt.init, out_shardings=opt_sh)(params)
+            if multi:
+                # multihost: restored host leaves cannot be device_put onto
+                # a sharding spanning non-addressable devices; re-place each
+                # file-matched leaf shard-wise instead (every process reads
+                # the same file and uploads only its addressable shards).
+                from sow_tpu.checkpoint import restore_opt_state_sharded
 
-            fresh_host = multihost.gather_to_host(fresh)
-            restored = restore_opt_state(fresh_host, ckpt, upload=False)
-            opt_state = multihost.tree_put_sharded(restored, opt_sh)
-        else:
-            opt_state = jax.device_put(restore_opt_state(fresh, ckpt), opt_sh)
-        trainer.params, trainer.opt_state = params, opt_state
+                trainer.opt_state = restore_opt_state_sharded(fresh, ckpt, opt_sh)
+            else:
+                trainer.opt_state = jax.device_put(
+                    restore_opt_state(fresh, ckpt), opt_sh
+                )
+        except Exception:
+            # leave the trainer self-consistent for the next-older candidate
+            trainer.params = old_params
+            trainer._build_optimizer()
+            raise
     trainer.update_step = state["update_step"]
     trainer.tokens_seen = state.get("tokens_seen", 0)
     return state

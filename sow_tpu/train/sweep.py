@@ -296,6 +296,14 @@ def run_glue_sweep(
         # locally-pretrained base (e.g. the flagship 60m) — the move that
         # turns the sweep objective non-degenerate: with a trained trunk,
         # trials separate on real data where random-init could not
+        if not model_name.startswith("llama"):
+            # the roberta builder has no params kwarg and
+            # load_pretrain_checkpoint assumes a llama config name — fail
+            # fast instead of a TypeError deep in the first trial
+            raise ValueError(
+                "--base-checkpoint requires a llama --glue-model "
+                f"(got {model_name!r}); pretrain checkpoints are llama-only"
+            )
         from sow_tpu.models.interop import load_pretrain_checkpoint
 
         base_params, model_cfg = load_pretrain_checkpoint(
@@ -362,6 +370,7 @@ def run_glue_sweep(
                 ).items()
             },
         }
+        record["objective"] = objective(record)
         with open(out_path, "a") as f:
             f.write(json.dumps(record) + "\n")
         return record
@@ -382,7 +391,9 @@ def run_glue_sweep(
         for i in range(n_trials):
             combo = combos_or_strategy.propose()
             r = trial(i, combo)
-            combos_or_strategy.observe(combo, objective(r))
+            # observe the stamped objective (eval metric for real data) so
+            # TPE and downstream best-trial selection agree on one target
+            combos_or_strategy.observe(combo, r["objective"])
             results.append(r)
     else:
         for i, combo in enumerate(combos_or_strategy):
@@ -482,7 +493,9 @@ def main(argv=None):
             base_checkpoint=args.base_checkpoint, base_arch=args.base_arch,
             base_rank=args.base_rank, eval_batches=args.eval_batches,
         )
-        best = min(results, key=lambda r: r["final_loss"])
+        # select via the same objective TPE observed (eval metric on real
+        # data), not train loss — the two can disagree
+        best = min(results, key=lambda r: r.get("objective", r["final_loss"]))
         print(json.dumps({"runs": len(results), "best": best}))
         return
 
