@@ -675,7 +675,22 @@ def _rand_basis(
         for _ in range(passes):
             y = _colnorm(y)
             g = y.T @ y
-            chol = jnp.linalg.cholesky(g + 1e-6 * jnp.eye(rr, dtype=g.dtype))
+            eye = jnp.eye(rr, dtype=g.dtype)
+            chol = jnp.linalg.cholesky(g + 1e-6 * eye)
+            # When rr approaches the matrix dimension and the input's
+            # spectrum decays fast (real first-moment gradients do), the
+            # power iteration leaves the sketch columns nearly parallel and
+            # the fp32 Gram goes indefinite BEYOND the small ridge —
+            # XLA's cholesky then returns NaN, which poisons the TT state
+            # permanently (observed: rank-64 moments of a 64x64 attention
+            # kernel NaN'd on the first optimizer step). Fall back to a
+            # strong ridge: that pass under-orthonormalizes, but finite
+            # beats orthonormal, and the second pass re-tightens.
+            chol = jnp.where(
+                jnp.isnan(chol).any(),
+                jnp.linalg.cholesky(g + 1e-2 * eye),
+                chol,
+            )
             y = jax.scipy.linalg.solve_triangular(chol, y.T, lower=True).T
     return y
 
