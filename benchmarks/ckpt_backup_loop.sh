@@ -19,8 +19,14 @@ cd "$(dirname "$0")/.."
 mkdir -p artifacts/ckpt_backup
 INTERVAL=${BACKUP_INTERVAL_S:-1800}
 
-latest_ckpt() { # $1 = *_ckpt dir -> newest model_N subdir (or empty)
-  ls -d "$1"/model_* 2>/dev/null | sort -t_ -k2 -n | tail -1
+latest_ckpt() { # $1 = *_ckpt dir -> newest COMPLETE model_N subdir (or empty)
+  for d in $(ls -d "$1"/model_* 2>/dev/null | grep -v '\.tmp$' | sort -t_ -k2 -n -r); do
+    # atomic-save aware: skip in-flight/partial dirs (same completeness
+    # rule as sow_tpu.checkpoint.complete_checkpoints)
+    if [ -s "$d/model.safetensors" ] && [ -s "$d/training_state.json" ]; then
+      echo "$d"; return
+    fi
+  done
 }
 
 while true; do
