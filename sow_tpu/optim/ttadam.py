@@ -124,6 +124,15 @@ def ttadam(
     (uniform-grid rounding discards the accumulated EMA — rel ~1.0) and
     ONLY with ``v_mode="factored"`` (a TT-arithmetic ``v`` leaves
     near-zero denominator regions: measured update rel-L2 > 1e4).
+
+    Rank choice — measured end-to-end (llama_9m, hidden 128, 800 steps,
+    synthetic pretrain, matrix layout + factored v; conv9m ladder): final
+    loss 1.70 at tt-rank 16 vs dense AdamW 0.197 — but 0.300 at rank 64
+    and 0.225 at rank 128. Moment-compression aggressiveness
+    (rank / min-dim) is the quality knob: rank ~ min-dim/2 recovers most
+    of dense Adam's convergence. The default rank 16 is a max-compression
+    setting, appropriate when rank << min(dims) still leaves real
+    structure (large hidden sizes), not for small models.
     """
     spec_fn = tt_spec or default_tt_spec()
 

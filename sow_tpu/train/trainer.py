@@ -114,6 +114,8 @@ class TrainConfig:
     tt_layout: str = "matrix"  # matrix | uniform | wide
     tt_v_mode: str = "factored"  # factored | tt
     tt_ema_mode: str = "dense"  # dense | tt (tt = single-decompose TTRAdam)
+    tt_state_dtype: str = "float32"  # storage dtype of TT cores between
+    # steps (math is fp32 either way); bfloat16 halves TT state bytes
     tt_min_dim: int = 64
     # data/model
     batch_size: int = 128  # per-step global batch (sequences)
@@ -325,6 +327,7 @@ class Trainer:
                 layout=self.cfg.tt_layout,
                 v_mode=self.cfg.tt_v_mode,
                 ema_mode=self.cfg.tt_ema_mode,
+                state_dtype=jnp.dtype(self.cfg.tt_state_dtype),
             )
             return
         embed_opt = "galore" if self.cfg.galore_embeddings else self.cfg.embed_optimizer
