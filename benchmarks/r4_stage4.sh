@@ -17,6 +17,15 @@ TOK=artifacts/bpe32k.json
 OUT=artifacts/r4
 mkdir -p "$OUT"
 
+# idempotence: round 5 runs stage 4 concurrently with stage 3 to fit the
+# round budget; whichever invocation comes second short-circuits here
+if [ -f "$OUT/STAGE4_DONE" ] || [ -f "$OUT/STAGE4_RUNNING" ]; then
+  echo "stage 4 already running/done; skipping duplicate invocation"
+  exit 0
+fi
+touch "$OUT/STAGE4_RUNNING"
+trap 'rm -f "$OUT/STAGE4_RUNNING"' EXIT
+
 # completeness-validated pick (see pick_ckpt.py; a wedged arm's partial
 # dir must not be selected — VERDICT r4 weak #4)
 BASE=$(python benchmarks/pick_ckpt.py \
