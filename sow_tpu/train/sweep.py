@@ -346,8 +346,12 @@ def run_glue_sweep(
             learning_rate=float(combo.get("lr", 5e-5)),
             sow_lr=float(combo.get("sow_lr", 1.2e-4)),
         )
+        # REAL buffer copy, not identity tree_map: the GLUE trainer's jitted
+        # step donates its param buffers, so an aliased copy hands trial 2
+        # the trial-1-deleted arrays ("Array has been deleted" — bit the
+        # first on-chip TPE sweep on its second trial)
         params_copy = (
-            jax.tree_util.tree_map(lambda x: x, base_params)
+            jax.tree_util.tree_map(jnp.copy, base_params)
             if base_params is not None else None
         )
         if params_copy is not None:

@@ -2,11 +2,14 @@
 memory accounting."""
 
 import json
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from sow_tpu.nn.sow import SoWLinear
 from sow_tpu.nn.tt_linear import TTLinear
@@ -264,3 +267,44 @@ class TestRandomMatrixUtils:
         model2 = model.accumulate(jax.random.PRNGKey(9)).set_scale(0.5)
         for _, l in iter_sow(model2.params):
             assert float(l.scale) == 0.5
+
+
+@pytest.mark.slow
+class TestSweepBaseCheckpointMultiTrial:
+    def test_trials_do_not_alias_donated_base_params(self, tmp_path):
+        """Regression: the GLUE trainer's jitted step donates its param
+        buffers; the per-trial 'copy' was an identity tree_map, so trial 2
+        stepped on trial-1-deleted arrays (RuntimeError: Array has been
+        deleted) — killed the first on-chip TPE sweep. Two trials from one
+        pretrained base must both run."""
+        import subprocess
+        import sys
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=1")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        base = str(tmp_path / "base")
+        r = subprocess.run(
+            [sys.executable, "-m", "sow_tpu.train.pretrain",
+             "--model", "llama_test", "--architecture", "sow", "--rank", "4",
+             "--sow-accumulation", "0", "--num-training-steps", "2",
+             "--batch-size", "4", "--max-length", "16", "--synthetic-data",
+             "--eval-every", "0", "--save-dir", base, "--save-every", "2",
+             "--dtype", "float32"],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-1000:]
+        out = str(tmp_path / "sweep.jsonl")
+        r = subprocess.run(
+            [sys.executable, "-m", "sow_tpu.train.sweep", "--workload", "glue",
+             "--glue-model", "llama_test", "--task", "cola",
+             "--base-checkpoint", base, "--base-arch", "sow", "--base-rank", "4",
+             "--batch-size", "4", "--max-length", "16", "--eval-batches", "2",
+             "--ranks", "4", "8", "--accumulations", "100", "--lrs", "1e-4",
+             "--sow-lrs", "1e-4", "--steps-per-run", "2",
+             "--random-trials", "2", "--out", out],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-1500:]
+        lines = [l for l in open(out).read().splitlines() if l.strip()]
+        assert len(lines) == 2  # both trials completed
