@@ -71,7 +71,10 @@ def bench_arch(architecture: str, steps: int = 20, warmup: int = 3) -> dict:
     # tokens/s, two concurrent streams 253k+263k), so amortizing it over K
     # steps is the hardware-honest throughput number — the same program a
     # production train loop dispatches (--steps-per-dispatch).
-    K = int(os.environ.get("BENCH_STEPS_PER_DISPATCH", "8"))
+    # K=32 measured best on the round-5 dispatch-depth probe
+    # (artifacts/r4/k_probe.jsonl): sow 264.3k @K=8 -> 269.2k tok/s @K=32
+    # (+1.9%, HBM util 0.858 -> 0.874 of nameplate)
+    K = int(os.environ.get("BENCH_STEPS_PER_DISPATCH", "32"))
     ids_k = jnp.broadcast_to(ids, (K, *ids.shape))
     mask_k = jnp.broadcast_to(mask, (K, *mask.shape))
     for _ in range(2):
