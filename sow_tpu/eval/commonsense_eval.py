@@ -252,6 +252,10 @@ def main(argv=None):
                    help="quantized KV cache: half the cache HBM, faster decode")
     p.add_argument("--engine", choices=("batch", "server"), default="batch",
                    help="server = continuous batching (greedy only)")
+    p.add_argument("--dump-outputs", type=str, default=None,
+                   help="write per-record predictions/raw generations as "
+                        "JSON (the reference saves these too, "
+                        "commonsense_evaluate.py:94)")
     # speculative decoding (greedy batch engine): a small same-tokenizer
     # draft model proposes --spec-gamma tokens per target verify forward;
     # output is token-identical to plain greedy (eval/speculative.py)
@@ -358,6 +362,9 @@ def main(argv=None):
             return out
 
     out = evaluate_commonsense(params, model_cfg, tok, records, cfg, decode_fn=decode_fn)
+    if args.dump_outputs:
+        with open(args.dump_outputs, "w") as f:
+            json.dump(out["outputs"], f, indent=1)
     print(json.dumps({"accuracy": out["accuracy"], "n": out["n"]}))
 
 
