@@ -848,6 +848,49 @@ class GenerationServer:
             "compiled_prefills": len(self._prefill),
         }
 
+    def warmup_prefills(self, groups=None) -> int:
+        """AOT-compile every (prompt-bucket, admission-group) prefill
+        signature by EXECUTING each once on an all-padding batch (padding
+        rows carry an out-of-range slot index, so every device write is
+        scatter-dropped — state-neutral by the same mechanism normal
+        partial groups rely on).
+
+        Cold-start elimination for serving: admission-group size depends on
+        arrival timing, so bursty traffic can hit a signature that smooth
+        traffic never formed — and a cold XLA prefill compile (tens of
+        seconds at 1b on this host) then lands mid-traffic. Measured before
+        this existed: an 8-deep-burst trace collapsed the continuous
+        engine to 42 tok/s with 30 s TTFT p95 purely from mid-run compiles.
+        Returns the number of signatures compiled.
+        """
+        cap = self.n_groups if self._beam else self.max_batch
+        if groups is None:
+            groups = []
+            g = 1
+            while g <= cap:
+                groups.append(g)
+                g *= 2
+        oob = self.n_groups if self._beam else self.max_batch
+        n = 0
+        for bucket in self.buckets:
+            w = 2 * bucket + (3 if self._beam else 5)
+            for g in groups:
+                if g > cap:
+                    continue
+                packed = np.zeros((g, w), np.float32)
+                packed[:, 2 * bucket] = oob
+                fn = self._prefill_fn(bucket, g)
+                self.cache, self.dstate = fn(
+                    self.params, self.cache, self.dstate, jnp.asarray(packed)
+                )
+                if self._spec:
+                    dfn = _make_draft_prefill(self.draft_cfg, bucket, g)
+                    self.draft_cache = dfn(
+                        self.draft_params, self.draft_cache, jnp.asarray(packed)
+                    )
+                n += 1
+        return n
+
     # -- internals ---------------------------------------------------------
     def _admit(self):
         if self._beam:

@@ -49,6 +49,11 @@ class TieredServer:
         self._next_id = 0
         self._back: dict[tuple[int, int], int] = {}  # (tier, sub_rid) -> rid
 
+    def warmup_prefills(self, groups=None) -> int:
+        """AOT-compile every tier's prefill signatures (see
+        ``GenerationServer.warmup_prefills``)."""
+        return sum(s.warmup_prefills(groups) for s in self.servers)
+
     # -- public API (mirrors GenerationServer) -----------------------------
     def submit(
         self, prompt_ids: list, max_new_tokens: int = 32, temperature: float = 0.0

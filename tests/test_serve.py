@@ -379,3 +379,41 @@ class TestRequestTimes:
         # bursts arrive back-to-back: 3 of every 4 gaps are exactly zero
         bgaps = np.diff(burst)
         assert (bgaps == 0).sum() >= 70
+
+
+class TestWarmupPrefills:
+    def test_warmup_is_state_neutral_and_covers_all_signatures(self):
+        """warmup_prefills compiles every (bucket, group) signature by
+        running all-padding batches; it must not disturb slot state or
+        change any subsequent output (regression for the burst-trace
+        collapse: a cold prefill compile landing mid-traffic)."""
+        rng = np.random.RandomState(9)
+        srv = GenerationServer(PARAMS, CFG, max_batch=3, max_len=64,
+                               prompt_buckets=(8, 16))
+        n = srv.warmup_prefills()
+        # buckets {8, 16} x groups {1, 2} (4 > max_batch 3 is skipped... cap
+        # is max_batch=3 so groups 1,2 -> 4 signatures? groups are 1,2 only)
+        assert n == len(srv._prefill) == 4  # {8,16} x {1,2}
+        assert all(s is None for s in srv.slots)
+        assert not srv.pending and not srv.finished
+
+        prompt = list(rng.randint(2, CFG.vocab_size, 6))
+        rid = srv.submit(prompt, max_new_tokens=5)
+        out = srv.run()[rid]
+        assert out == isolated_greedy(prompt, 5)[: len(out)]
+        # the admission reused a warmed signature — no new compiles
+        assert len(srv._prefill) == 4
+
+    def test_warmup_beam_server(self):
+        srv = GenerationServer(PARAMS, CFG, max_batch=4, max_len=64,
+                               prompt_buckets=(8,), num_beams=2)
+        n = srv.warmup_prefills()
+        assert n == len(srv._prefill) == 2  # bucket 8 x groups {1, 2}
+        assert all(s is None for s in srv.slots)
+
+    def test_warmup_tiered(self):
+        from sow_tpu.eval.tiered import TieredServer
+
+        srv = TieredServer(PARAMS, CFG, tiers=((2, 32), (2, 64)),
+                           prompt_buckets=(8,))
+        assert srv.warmup_prefills() == 4  # 2 tiers x bucket 8 x groups {1,2}
